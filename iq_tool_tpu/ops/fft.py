@@ -1,0 +1,84 @@
+"""TPU-native FFT as batched DFT matmuls (four-step Cooley-Tukey).
+
+Two reasons this exists instead of ``jnp.fft``:
+
+1. The MXU is the TPU's throughput engine; expressing an N-point FFT as
+   two batched (sqrt(N) x sqrt(N)) DFT matmuls plus a twiddle multiply
+   trades ~N*(N1+N2) MAC work for N*log N scalar work — a winning trade on
+   a systolic array (the classic "four-step"/Bailey formulation).
+2. The PJRT backend in this image does not implement the FFT custom call
+   at all (jnp.fft.fft -> UNIMPLEMENTED), so a composable matmul FFT is
+   required for TPU execution.
+
+Supports power-of-two sizes, complex64, any leading batch dims, with
+recursion for very large N.  Accuracy ~1e-6 relative (f32 accumulate),
+about -110 dB — well inside the chain's 60 dB contract.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+_MAX_DENSE = 256  # largest dense DFT matrix (256x256 complex64 = 512 KB)
+
+
+def _split(n: int) -> tuple[int, int]:
+    """n = n1 * n2 with n1 <= n2, both pow2, n1 as close to sqrt as allowed."""
+    log = n.bit_length() - 1
+    l1 = log // 2
+    return 1 << l1, 1 << (log - l1)
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)
+    w = np.exp(-2j * np.pi * np.outer(k, k) / n)
+    return w.astype(np.complex64)
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle(n1: int, n2: int) -> np.ndarray:
+    k1 = np.arange(n1)
+    n2i = np.arange(n2)
+    return np.exp(-2j * np.pi * np.outer(k1, n2i) / (n1 * n2)).astype(np.complex64)
+
+
+def fft(x: jnp.ndarray) -> jnp.ndarray:
+    """FFT over the last axis (power-of-two length), complex64 in/out."""
+    n = x.shape[-1]
+    if n & (n - 1):
+        raise ValueError(f"fft length must be a power of two, got {n}")
+    x = x.astype(jnp.complex64)
+    if n == 1:
+        return x
+    if n <= _MAX_DENSE:
+        return jnp.matmul(x, jnp.asarray(_dft_matrix(n).T))
+
+    n1, n2 = _split(n)
+    batch = x.shape[:-1]
+    v = x.reshape(*batch, n1, n2)
+    # FFT along n1 (columns): Y[k1, n2] = sum_n1 F1[k1, n1] * v[n1, n2]
+    if n1 <= _MAX_DENSE:
+        y = jnp.einsum("kn,...nm->...km", jnp.asarray(_dft_matrix(n1)), v)
+    else:
+        y = jnp.moveaxis(fft(jnp.moveaxis(v, -2, -1)), -1, -2)
+    y = y * jnp.asarray(_twiddle(n1, n2))
+    # FFT along n2 (rows)
+    if n2 <= _MAX_DENSE:
+        z = jnp.matmul(y, jnp.asarray(_dft_matrix(n2).T))
+    else:
+        z = fft(y)
+    # X[k1 + k2*n1] = Z[k1, k2]
+    return jnp.swapaxes(z, -1, -2).reshape(*batch, n)
+
+
+def ifft(x: jnp.ndarray) -> jnp.ndarray:
+    n = x.shape[-1]
+    return (jnp.conj(fft(jnp.conj(x))) / n).astype(jnp.complex64)
+
+
+def fftshift(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.roll(x, x.shape[-1] // 2, axis=-1)

@@ -1,0 +1,113 @@
+"""Multi-stage polyphase resampler: tone SNR, framing, staging, streaming."""
+
+import numpy as np
+import pytest
+
+from iq_tool_tpu.ops import resample
+
+
+def _tone_snr(resampler, f_norm_in, n_blocks=4):
+    """Feed a complex tone at f_norm_in (cycles/input-sample); fit the ideal
+    output tone (amplitude+phase LS) and return (SNR dB, |gain|)."""
+    plan = resampler.plan
+    n_in, n_out = plan.n_in, plan.n_out
+    state = resampler.init(1)
+    outs = []
+    for b in range(n_blocks):
+        n0 = b * n_in
+        t = np.arange(n0, n0 + n_in)
+        x = np.exp(2j * np.pi * f_norm_in * t).astype(np.complex64)
+        y, state = resampler(x[None, :], state)
+        outs.append(np.asarray(y)[0])
+    y = np.concatenate(outs)
+    # discard transient (filter startup), fit y ~= a * exp(2pi i f_out m)
+    ratio = plan.p / plan.q
+    f_out = f_norm_in / ratio
+    skip = min(len(y) // 2, 4096)
+    m = np.arange(skip, len(y))
+    ideal = np.exp(2j * np.pi * f_out * m)
+    seg = y[skip:]
+    a = np.vdot(ideal, seg) / np.vdot(ideal, ideal)
+    resid = seg - a * ideal
+    snr = 10 * np.log10(np.mean(np.abs(a * ideal) ** 2) /
+                        (np.mean(np.abs(resid) ** 2) + 1e-30))
+    return snr, abs(a)
+
+
+def test_rationalize():
+    assert resample.rationalize(1_488_375.0 / 2_048_000.0) == (11907, 16384)
+    assert resample.rationalize(0.5) == (1, 2)
+    with pytest.raises(ValueError):
+        resample.rationalize(0.0001)
+
+
+def test_nrsc5_ratio_framing():
+    r = resample.Resampler(1_488_375.0 / 2_048_000.0, target_block=16384)
+    assert r.plan.n_in == 16384 and r.plan.n_out == 11907
+    assert r.plan.s_decim == 0 and r.plan.s_interp == 0
+
+
+@pytest.mark.parametrize("ratio,f_in", [
+    (1_488_375.0 / 2_048_000.0, 0.10),   # NRSC-5 case
+    (1_488_375.0 / 2_048_000.0, 0.25),   # near passband edge
+    (0.62, 0.05),
+    (48_000.0 / 2_400_000.0, 0.005),     # deep decimation (multi-stage, 1/50)
+    (3.0, 0.1),                          # upsampling with halfbands
+    (1.5, 0.2),
+])
+def test_tone_snr(ratio, f_in):
+    r = resample.Resampler(ratio, target_block=8192)
+    snr, gain = _tone_snr(r, f_in)
+    assert snr > 55.0, (ratio, f_in, snr)
+    assert abs(gain - 1.0) < 0.05, (ratio, f_in, gain)
+
+
+@pytest.mark.parametrize("ratio,sd,su", [(0.5, 1, 0), (0.25, 2, 0),
+                                         (2.0, 0, 1), (4.0, 0, 2), (1.0, 0, 0)])
+def test_pow2_staging(ratio, sd, su):
+    r = resample.Resampler(ratio, target_block=4096)
+    assert r.plan.s_decim == sd and r.plan.s_interp == su
+    assert r.plan.arb is None
+    assert r.plan.n_out == int(r.plan.n_in * ratio)
+
+
+def test_pow2_tone():
+    for ratio in (0.25, 2.0):
+        r = resample.Resampler(ratio, target_block=4096)
+        snr, gain = _tone_snr(r, 0.05)
+        assert snr > 55.0, (ratio, snr)
+        assert abs(gain - 1.0) < 0.05
+
+
+def test_identity_ratio_passthrough(rng):
+    r = resample.Resampler(1.0, target_block=1024)
+    x = (rng.standard_normal(r.plan.n_in)
+         + 1j * rng.standard_normal(r.plan.n_in)).astype(np.complex64)
+    y, _ = r(x[None, :], r.init(1))
+    np.testing.assert_array_equal(np.asarray(y)[0], x)
+
+
+def test_block_exactness(rng):
+    """Every block must produce exactly n_out samples with a (C,) batch."""
+    r = resample.Resampler(0.7266, target_block=4096)
+    x = rng.standard_normal((3, r.plan.n_in)).astype(np.complex64)
+    y, st = r(x, r.init(3))
+    assert y.shape == (3, r.plan.n_out)
+    y2, _ = r(x, st)
+    assert y2.shape == (3, r.plan.n_out)
+
+
+def test_alias_rejection():
+    """A tone beyond the output Nyquist must be strongly attenuated."""
+    ratio = 0.5
+    r = resample.Resampler(ratio, target_block=8192)
+    # input tone at 0.35 cycles/sample -> above output Nyquist (0.25 in input units)
+    state = r.init(1)
+    outs = []
+    for b in range(4):
+        t = np.arange(b * r.plan.n_in, (b + 1) * r.plan.n_in)
+        x = np.exp(2j * np.pi * 0.35 * t).astype(np.complex64)
+        y, state = r(x[None, :], state)
+        outs.append(np.asarray(y)[0])
+    y = np.concatenate(outs)[2048:]
+    assert 10 * np.log10(np.mean(np.abs(y) ** 2) + 1e-30) < -50.0
