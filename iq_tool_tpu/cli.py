@@ -1,0 +1,291 @@
+"""Command-line interface (src/cli.c + src/main.c surface).
+
+Usage mirrors the reference:
+
+    python -m iq_tool_tpu -i wav -o raw capture.wav out.raw \
+        --preset cu8-nrsc5 --freq-shift -100e3 --lowpass 200e3
+
+Options are assembled from the static groups plus every registered
+module's contributions, so --help shows exactly what this build supports
+(module_manager.c:224-258 behavior).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from iq_tool_tpu import __version__
+from iq_tool_tpu import constants as C
+from iq_tool_tpu.config import (AppConfig, apply_preset, collect_filter_requests,
+                                resolve_rates, validate)
+from iq_tool_tpu.formats import complex_formats
+from iq_tool_tpu.modules import INPUT_MODULES, OUTPUT_MODULES, get_input, get_output
+from iq_tool_tpu.ops.fir_design import FilterRequest  # noqa: F401
+from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+from iq_tool_tpu.pipeline.runtime import StreamEngine
+from iq_tool_tpu.presets import load_presets
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="iq_tool_tpu",
+        description="TPU-native I/Q stream processor "
+                    "(resample / shift / filter / AGC)",
+    )
+    p.add_argument("input_file", nargs="?", help="Input file (file sources)")
+    p.add_argument("output_file", nargs="?", help="Output file (file sinks)")
+    p.add_argument("--version", action="version",
+                   version=f"iq_tool_tpu {__version__}")
+
+    g = p.add_argument_group("Required Input & Output")
+    g.add_argument("-i", "--input", required=True, metavar="TYPE",
+                   help="Input type {%s}" % "|".join(sorted(INPUT_MODULES)))
+    g.add_argument("-o", "--output", required=True, metavar="TYPE",
+                   help="Output type {%s}" % "|".join(sorted(OUTPUT_MODULES)))
+
+    g = p.add_argument_group("Output Options")
+    g.add_argument("--output-sample-format", metavar="FMT",
+                   help="Sample format for output data {%s}" %
+                        "|".join(complex_formats()))
+    g.add_argument("--force-overwrite", action="store_true",
+                   help="Overwrite existing output files without prompting")
+
+    g = p.add_argument_group("Processing Options")
+    g.add_argument("--output-rate", type=float, metavar="HZ",
+                   help="Output sample rate in Hz (required unless a preset "
+                        "or --no-resample is used)")
+    g.add_argument("--gain-multiplier", type=float, default=1.0, metavar="G",
+                   help="Linear gain multiplier applied to input samples")
+    g.add_argument("--freq-shift", type=float, metavar="HZ",
+                   help="Frequency shift in Hz (e.g. -100e3)")
+    g.add_argument("--shift-after-resample", action="store_true",
+                   help="Apply the frequency shift AFTER resampling")
+    g.add_argument("--no-resample", action="store_true",
+                   help="Process at the native input rate (no resampler)")
+    g.add_argument("--raw-passthrough", action="store_true",
+                   help="Bypass all processing; copy raw bytes")
+    g.add_argument("--iq-correction", action="store_true",
+                   help="Enable automatic I/Q imbalance correction")
+    g.add_argument("--dc-block", action="store_true",
+                   help="Enable DC offset removal")
+    g.add_argument("--preset", metavar="NAME", help="Apply a named preset")
+    g.add_argument("--list-presets", action="store_true",
+                   help="List available presets and exit")
+
+    g = p.add_argument_group("Output Automatic Gain Control (AGC)")
+    g.add_argument("--output-agc", action="store_true",
+                   help="Enable automatic gain control on the output")
+    g.add_argument("--agc-profile", metavar="P",
+                   help="AGC profile {dx|local|digital} (default: local)")
+    g.add_argument("--agc-target", type=float, metavar="T",
+                   help="AGC target magnitude (0.0 - 1.0)")
+
+    g = p.add_argument_group(
+        "Filtering Options (chain up to 5 with suffixes -2..-5)")
+    for i in range(1, C.FILTER_MAX_CHAIN + 1):
+        sfx = "" if i == 1 else f"-{i}"
+        show = i == 1
+        g.add_argument(f"--lowpass{sfx}", type=float, metavar="HZ",
+                       help="Keep -<hz>..+<hz> around DC" if show
+                       else argparse.SUPPRESS)
+        g.add_argument(f"--highpass{sfx}", type=float, metavar="HZ",
+                       help="Reject -<hz>..+<hz> around DC" if show
+                       else argparse.SUPPRESS)
+        g.add_argument(f"--pass-range{sfx}", metavar="LO:HI",
+                       help="Isolate a band, e.g. 102e3:215e3" if show
+                       else argparse.SUPPRESS)
+        g.add_argument(f"--stopband{sfx}", metavar="LO:HI",
+                       help="Notch a band, e.g. -10e3:10e3" if show
+                       else argparse.SUPPRESS)
+
+    g = p.add_argument_group("Filter Quality Options")
+    g.add_argument("--transition-width", type=float, metavar="HZ",
+                   help="Filter sharpness (transition width in Hz)")
+    g.add_argument("--filter-taps", type=int, metavar="N",
+                   help="Exact filter length (overrides --transition-width)")
+    g.add_argument("--attenuation", type=float, metavar="DB",
+                   help="Stop-band attenuation in dB (default 60)")
+    g.add_argument("--filter-type", metavar="T",
+                   help="Filter implementation {fir|fft} (default auto)")
+    g.add_argument("--filter-fft-size", type=int, metavar="N",
+                   help="FFT size for the fft filter (power of two)")
+
+    g = p.add_argument_group("Performance Options")
+    g.add_argument("--block-size", type=int, default=C.DEFAULT_BLOCK_SIZE,
+                   metavar="N", help="Device block size in frames")
+
+    for mod in list(INPUT_MODULES.values()) + list(OUTPUT_MODULES.values()):
+        mod.add_cli_options(p)
+    return p
+
+
+def config_from_args(args) -> AppConfig:
+    cfg = AppConfig(
+        input_type=args.input, output_type=args.output,
+        input_path=args.input_file, output_path=args.output_file,
+        output_format=args.output_sample_format,
+        target_rate=args.output_rate,
+        no_resample=args.no_resample,
+        raw_passthrough=args.raw_passthrough,
+        gain=args.gain_multiplier,
+        freq_shift_hz=args.freq_shift,
+        shift_after_resample=args.shift_after_resample,
+        dc_block=args.dc_block, iq_correction=args.iq_correction,
+        output_agc=args.output_agc, agc_profile=args.agc_profile,
+        agc_target=args.agc_target,
+        filters=collect_filter_requests(args),
+        transition_width_hz=args.transition_width,
+        filter_taps=args.filter_taps,
+        attenuation_db=args.attenuation,
+        filter_type=args.filter_type,
+        filter_fft_size=args.filter_fft_size,
+        preset_name=args.preset,
+        force_overwrite=args.force_overwrite,
+    )
+    if cfg.preset_name:
+        presets, path = load_presets()
+        pr = presets.get(cfg.preset_name.lower())
+        if pr is None:
+            raise ValueError(
+                f"unknown preset '{cfg.preset_name}'"
+                + (f" (presets file: {path})" if path else " (no presets file found)"))
+        apply_preset(cfg, pr)
+    return cfg
+
+
+def build_chain(cfg: AppConfig, block_size: int) -> Chain | None:
+    if cfg.raw_passthrough:
+        return None
+    shift = cfg.freq_shift_hz if cfg.freq_shift_hz is not None else cfg.nco_shift_hz
+    pre = 0.0 if cfg.shift_after_resample else (shift or 0.0)
+    post = (shift or 0.0) if cfg.shift_after_resample else 0.0
+    agc_profile = (cfg.agc_profile or "local") if cfg.output_agc else None
+    return Chain(ChainConfig(
+        input_format=cfg.input_format,
+        output_format=cfg.output_format,
+        input_rate=cfg.input_rate,
+        target_rate=None if cfg.no_resample else cfg.target_rate,
+        gain=cfg.gain,
+        dc_block=cfg.dc_block,
+        iq_correction=cfg.iq_correction,
+        freq_shift_pre_hz=pre,
+        freq_shift_post_hz=post,
+        filters=tuple(cfg.filters),
+        filter_method=cfg.filter_type or "auto",
+        filter_fft_size=cfg.filter_fft_size,
+        filter_taps=cfg.filter_taps,
+        filter_transition_hz=cfg.transition_width_hz,
+        filter_attenuation_db=cfg.attenuation_db or C.RESAMPLER_ATTENUATION_DB,
+        agc_profile=agc_profile,
+        agc_target=cfg.agc_target,
+        target_block=block_size,
+    ))
+
+
+def _print_summary_table(title: str, items: dict, file=sys.stderr) -> None:
+    if not items:
+        return
+    print(f"--- {title} ---", file=file)
+    width = max(len(k) for k in items)
+    for k, v in items.items():
+        print(f"  {k:<{width}} : {v}", file=file)
+
+
+def _progress(summary, elapsed, total_frames) -> None:
+    mb = summary.bytes_out / 1e6
+    rate = mb / elapsed if elapsed > 0 else 0.0
+    pct = ""
+    if total_frames:
+        pct = f" ({100.0 * summary.frames_in / total_frames:5.1f}%)"
+    print(f"\r  {summary.frames_out} frames out{pct}  {mb:.1f} MB  "
+          f"{rate:.1f} MB/s", end="", file=sys.stderr, flush=True)
+
+
+_NUM_RE = None
+
+
+def _fix_negative_numbers(argv: list[str]) -> list[str]:
+    """argparse rejects '--freq-shift -50e3' (a '-50e3' token looks like an
+    option).  Merge numeric values into '--opt=value' form."""
+    global _NUM_RE
+    import re
+    if _NUM_RE is None:
+        _NUM_RE = re.compile(r"^-\d+(\.\d*)?([eE][+-]?\d+)?$")
+    out = []
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if (tok.startswith("--") and "=" not in tok and i + 1 < len(argv)
+                and _NUM_RE.match(argv[i + 1])):
+            out.append(f"{tok}={argv[i + 1]}")
+            i += 2
+        else:
+            out.append(tok)
+            i += 1
+    return out
+
+
+def main(argv=None) -> int:
+    parser = build_parser()
+    argv = _fix_negative_numbers(list(sys.argv[1:] if argv is None else argv))
+    args = parser.parse_args(argv)
+
+    if args.list_presets:
+        presets, path = load_presets()
+        print(f"Presets from {path}:" if path else "No presets file found.")
+        for name, pr in sorted(presets.items()):
+            print(f"  {name:<22} {pr.values.get('description', '')}")
+        return 0
+
+    try:
+        cfg = config_from_args(args)
+        source = get_input(cfg.input_type)
+        sink = get_output(cfg.output_type)
+        info = source.initialize(cfg, args)
+        cfg.nco_shift_hz = info.nco_shift_hz
+        resolve_rates(cfg, info.sample_rate, info.sample_format)
+        validate(cfg)
+        chain = build_chain(cfg, args.block_size)
+        sink.initialize(cfg, args)
+
+        summary_items = {"Input Type": cfg.input_type,
+                         "Input Rate": f"{cfg.input_rate:.6g} Hz",
+                         "Output Rate": f"{cfg.output_rate:.6g} Hz",
+                         "Output Format": cfg.output_format}
+        summary_items.update(source.summary())
+        summary_items.update(sink.summary())
+        if chain and chain.resampler:
+            pl = chain.resampler.plan
+            summary_items["Resample Ratio"] = f"{pl.p}/{pl.q} = {pl.p / pl.q:.9g}"
+        if sink.requires_output_path:
+            _print_summary_table("Configuration Summary", summary_items)
+
+        engine = StreamEngine(chain, source, sink,
+                              raw_passthrough=cfg.raw_passthrough,
+                              progress=_progress if sink.requires_output_path else None,
+                              progress_total_frames=info.total_frames)
+        t0 = time.monotonic()
+        s = engine.run()
+        sink.finalize()
+        source.close()
+        if sink.requires_output_path:
+            print(file=sys.stderr)
+            _print_summary_table("Final Summary", {
+                "Duration": f"{s.duration_sec:.2f} s",
+                "Frames In": s.frames_in,
+                "Frames Out": s.frames_out,
+                "Bytes Out": s.bytes_out,
+                "Average Speed": f"{s.avg_mb_per_sec:.2f} MB/s",
+                "Status": "interrupted" if s.interrupted else "complete",
+            })
+        _ = t0
+        return 130 if s.interrupted else 0
+    except (ValueError, OSError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

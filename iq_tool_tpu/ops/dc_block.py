@@ -32,8 +32,9 @@ def alpha_for_rate(sample_rate: float, cutoff_hz: float = DC_BLOCK_CUTOFF_HZ) ->
 
 
 def init(channels: int) -> DcState:
-    z = jnp.zeros((channels,), jnp.complex64)
-    return DcState(z, z)
+    # two distinct buffers (a shared one breaks jit argument donation)
+    return DcState(jnp.zeros((channels,), jnp.complex64),
+                   jnp.zeros((channels,), jnp.complex64))
 
 
 def reset(state: DcState) -> DcState:

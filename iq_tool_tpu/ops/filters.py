@@ -77,8 +77,11 @@ def _fir_direct(ext: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _freq_taps(taps_key, nfft: int):
+    # kept as NUMPY so jit embeds it as a literal constant (device-resident
+    # complex constants would need a device->host pull at trace time, which
+    # some PJRT backends cannot do)
     taps = np.asarray(taps_key, np.complex64)
-    return jnp.asarray(np.fft.fft(taps, nfft).astype(np.complex64))
+    return np.fft.fft(taps, nfft).astype(np.complex64)
 
 
 class StreamingFilter:
@@ -106,7 +109,7 @@ class StreamingFilter:
             self.nfft = 2 * self.block
             self._h = _freq_taps(tuple(taps.tolist()), self.nfft)
         else:
-            self._h = jnp.asarray(taps)
+            self._h = taps
 
     def init(self, channels: int) -> jnp.ndarray:
         return jnp.zeros((channels, self.block), jnp.complex64)
@@ -126,12 +129,26 @@ class StreamingFilter:
             return y, new_state
 
         b = self.block
-        if n % b != 0:
-            raise ValueError(f"block length {n} not a multiple of filter block {b}")
+        if n < b:
+            raise ValueError(f"block length {n} smaller than filter block {b}")
         ext = jnp.concatenate([state, x], axis=-1)       # (C, n + b)
-        segs = ext.reshape(c, n // b + 1, b)
-        windows = jnp.concatenate([segs[:, :-1], segs[:, 1:]], axis=-1)  # (C, nc, 2b)
-        spec = tfft.fft(windows) * self._h
-        out = tfft.ifft(spec)[..., b:]                   # linear-conv-valid half
-        y = out.reshape(c, n)
-        return y.astype(jnp.complex64), x[:, -b:] if n >= b else ext[:, -b:]
+        if n % b == 0:
+            segs = ext.reshape(c, n // b + 1, b)
+            windows = jnp.concatenate([segs[:, :-1], segs[:, 1:]], axis=-1)
+            out = tfft.ifft(tfft.fft(windows) * self._h)[..., b:]
+            y = out.reshape(c, n)
+        else:
+            # Arbitrary n: static overlapping windows. Chunk i produces
+            # outputs [s_i, s_i + b); the last window is re-anchored at
+            # n - b so every output is covered with fixed shapes (its
+            # leading duplicate outputs are discarded).
+            nc = -(-n // b)
+            starts = np.arange(nc, dtype=np.int64) * b
+            starts[-1] = n - b
+            idx = starts[:, None] + np.arange(2 * b, dtype=np.int64)[None, :]
+            windows = jnp.take(ext, jnp.asarray(idx), axis=-1)  # (C, nc, 2b)
+            out = tfft.ifft(tfft.fft(windows) * self._h)[..., b:]
+            head = out[:, :-1, :].reshape(c, (nc - 1) * b)
+            tail = out[:, -1, -(n - (nc - 1) * b):]
+            y = jnp.concatenate([head, tail], axis=-1)
+        return y.astype(jnp.complex64), ext[:, -b:]

@@ -98,14 +98,25 @@ def design_request(req: FilterRequest, sample_rate: float, atten_db: float,
     else:
         n = int(num_taps)
 
-    if req.type == "pass-range" and abs(req.freq1_hz) > 1e-9:
-        # off-center passband: heterodyne a real LPF prototype to the center
+    if req.type in ("pass-range", "stop-range") and abs(req.freq1_hz) > 1e-9:
+        # off-center band: heterodyne a real LPF prototype to the center
+        # (filter.c:205-218).  The reference only heterodynes pass-range —
+        # its stopband silently ignores the band center (filter.c:238-241);
+        # here the inversion is applied to the shifted prototype so
+        # off-center notches actually notch the requested band.
         half_bw = (req.freq2_hz / 2.0) / fs
         proto = kaiser_lowpass(n, half_bw, atten_db)
         fc = req.freq1_hz / fs
-        # NCO starts at phase 0 and steps per tap (filter.c:211-218)
-        ph = 2.0 * np.pi * fc * np.arange(n)
-        return proto * np.exp(1j * ph)
+        # Phase ramp referenced to the CENTER tap (the reference starts its
+        # NCO at tap 0, filter.c:211-218 — same magnitude response, but the
+        # centered ramp keeps H(fc) real-positive, which spectral inversion
+        # below requires).
+        ph = 2.0 * np.pi * fc * (np.arange(n) - (n - 1) / 2.0)
+        taps = proto * np.exp(1j * ph)
+        if req.type == "stop-range":
+            taps = -taps
+            taps[(n - 1) // 2] += 1.0
+        return taps
 
     if req.type == "lowpass":
         taps = kaiser_lowpass(n, req.freq1_hz / fs, atten_db)
@@ -144,7 +155,7 @@ def design_chain(requests: list[FilterRequest], sample_rate: float,
     for req in requests:
         if req.type != "lowpass":
             normalize_by_peak = True
-        if req.type == "pass-range" and abs(req.freq1_hz) > 1e-9:
+        if req.type in ("pass-range", "stop-range") and abs(req.freq1_hz) > 1e-9:
             is_complex = True
         taps = design_request(req, sample_rate, atten_db, num_taps, transition_hz)
         master = np.convolve(master, taps)

@@ -73,10 +73,10 @@ def _hamming(n: int) -> np.ndarray:
 _WINDOW = None
 
 
-def _window(n: int) -> jnp.ndarray:
+def _window(n: int) -> np.ndarray:
     global _WINDOW
     if _WINDOW is None or _WINDOW.shape[0] != n:
-        _WINDOW = jnp.asarray(_hamming(n))
+        _WINDOW = _hamming(n)   # numpy: embeds as a jit literal
     return _WINDOW
 
 

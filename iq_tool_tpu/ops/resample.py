@@ -196,9 +196,9 @@ class _ArbStage:
     def __init__(self, plan: ArbPlan):
         self.plan = plan
         k_taps = plan.weights.shape[1]
-        idx = plan.starts[:, None] + np.arange(k_taps, dtype=np.int32)[None, :]
-        self._idx = jnp.asarray(idx)
-        self._wr = jnp.asarray(plan.weights)
+        # numpy (not device arrays): jit embeds them as literal constants
+        self._idx = plan.starts[:, None] + np.arange(k_taps, dtype=np.int32)[None, :]
+        self._wr = plan.weights
 
     def init(self, channels: int) -> jnp.ndarray:
         return jnp.zeros((channels, self.plan.history), jnp.complex64)
@@ -206,7 +206,7 @@ class _ArbStage:
     def __call__(self, x, state):
         ext = jnp.concatenate([state, x], axis=-1)
         windows = ext[:, self._idx]                        # (C, M, K)
-        w = self._wr.astype(jnp.complex64)
+        w = jnp.asarray(self._wr).astype(jnp.complex64)
         y = jnp.einsum("cmk,mk->cm", windows, w)
         return y.astype(jnp.complex64), ext[:, -self.plan.history:]
 

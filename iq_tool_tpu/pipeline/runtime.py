@@ -1,0 +1,153 @@
+"""Host streaming engine: feeds the compiled chain from an input module and
+drains it into an output module.
+
+Replaces the reference's thread pipeline + queues + rings (pipeline.c):
+JAX's async dispatch IS the pipeline — while the device runs block k, the
+host reads block k+1 from the source and writes block k-1 to the sink.
+EOS pads the final partial block and trims the output to exactly
+floor(valid_in * P/Q) frames; stream discontinuities set the step's reset
+flag (pipeline.c:458-464 semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import numpy as np
+
+from iq_tool_tpu import constants as C
+from iq_tool_tpu.modules.base import InputModule, OutputModule
+from iq_tool_tpu.pipeline.chain import Chain
+
+
+@dataclasses.dataclass
+class StreamSummary:
+    frames_in: int = 0
+    frames_out: int = 0
+    bytes_out: int = 0
+    duration_sec: float = 0.0
+    interrupted: bool = False
+
+    @property
+    def avg_mb_per_sec(self) -> float:
+        if self.duration_sec <= 0:
+            return 0.0
+        return self.bytes_out / 1e6 / self.duration_sec
+
+
+class StreamEngine:
+    def __init__(self, chain: Chain | None, source: InputModule,
+                 sink: OutputModule, raw_passthrough: bool = False,
+                 progress=None, progress_total_frames: int | None = None):
+        if chain is None and not raw_passthrough:
+            raise ValueError("need a chain unless raw_passthrough")
+        self.chain = chain
+        self.source = source
+        self.sink = sink
+        self.raw_passthrough = raw_passthrough
+        self.progress = progress
+        self.total_frames = progress_total_frames
+
+    # ---------------------------------------------------------------------
+
+    def run(self) -> StreamSummary:
+        if self.raw_passthrough:
+            return self._run_passthrough()
+        return self._run_chain()
+
+    def _run_passthrough(self) -> StreamSummary:
+        s = StreamSummary()
+        t0 = time.monotonic()
+        last_prog = t0
+        for block in self.source.blocks(C.DEFAULT_BLOCK_SIZE):
+            self.sink.write(block.payload)
+            s.bytes_out += len(block.payload)
+            last_prog = self._progress_tick(s, t0, last_prog)
+        s.duration_sec = time.monotonic() - t0
+        return s
+
+    def _run_chain(self) -> StreamSummary:
+        ch = self.chain
+        fmt = ch.fmt_in
+        bpf = fmt.bytes_per_frame
+        n_in = ch.n_in
+        block_bytes = n_in * bpf
+        out_bpf = ch.fmt_out.bytes_per_frame
+
+        carry = ch.init_carry(1)
+        s = StreamSummary()
+        t0 = time.monotonic()
+        last_prog = t0
+
+        pending = None            # (device array, frames_to_emit)
+        buf = bytearray()
+        pending_reset = False
+        src = self.source.blocks(n_in)
+        eos = False
+
+        def flush_pending():
+            nonlocal pending
+            if pending is None:
+                return
+            dev, emit = pending
+            pending = None
+            host = np.asarray(jax.device_get(dev))[0]
+            payload = host[: emit * ch.fmt_out.items_per_frame].tobytes()
+            self.sink.write(payload)
+            s.frames_out += emit
+            s.bytes_out += len(payload)
+
+        def process(chunk: bytes, valid_frames: int, reset: bool):
+            nonlocal carry
+            if len(chunk) < block_bytes:
+                chunk = chunk + b"\x00" * (block_bytes - len(chunk))
+            wire = np.frombuffer(chunk, dtype=ch.in_wire_dtype)[None, :]
+            dev = jax.device_put(wire)
+            carry, out = ch.step(carry, dev, np.bool_(reset))
+            s.frames_in += valid_frames
+            allowed = ch.expected_out_frames(s.frames_in)
+            emit = max(0, min(allowed - s.frames_out - _pending_frames(),
+                              ch.n_out))
+            flush_pending()
+            return out, emit
+
+        def _pending_frames():
+            return pending[1] if pending else 0
+
+        try:
+            while not eos:
+                block = next(src, None)
+                if block is None:
+                    eos = True
+                else:
+                    if block.discontinuity:
+                        # process what we have, then reset on the next block
+                        pending_reset = True
+                    buf.extend(block.payload)
+                while len(buf) >= block_bytes:
+                    chunk = bytes(buf[:block_bytes])
+                    del buf[:block_bytes]
+                    out, emit = process(chunk, n_in, pending_reset)
+                    pending_reset = False
+                    pending = (out, emit)
+                    last_prog = self._progress_tick(s, t0, last_prog)
+                if eos and buf:
+                    valid = len(buf) // bpf
+                    out, emit = process(bytes(buf), valid, pending_reset)
+                    pending = (out, emit)
+                    buf.clear()
+            flush_pending()
+        except KeyboardInterrupt:
+            s.interrupted = True
+            flush_pending()
+        s.duration_sec = time.monotonic() - t0
+        return s
+
+    def _progress_tick(self, s: StreamSummary, t0: float, last: float) -> float:
+        now = time.monotonic()
+        if self.progress and now - last >= C.PROGRESS_INTERVAL_SEC:
+            self.progress(s, now - t0, self.total_frames)
+            return now
+        return last

@@ -140,3 +140,20 @@ def test_choose_fft_block():
     assert fir_design.choose_fft_block(100, user_fft_size=512) == 256
     with pytest.raises(ValueError):
         fir_design.choose_fft_block(1000, user_fft_size=512)
+
+
+def test_non_multiple_block_length(rng):
+    """Overlap-save must handle N not divisible by the FFT block (e.g. the
+    resampler's 11907-sample outputs)."""
+    taps = rng.standard_normal(257).astype(np.complex64)
+    taps /= np.abs(taps).sum()
+    f = filters.StreamingFilter(taps, "fft")
+    x = (rng.standard_normal(11907 * 2) + 1j * rng.standard_normal(11907 * 2)).astype(np.complex64)
+    state = f.init(1)
+    outs = []
+    for i in range(0, len(x), 11907):
+        y, state = f(x[None, i:i + 11907], state)
+        outs.append(np.asarray(y)[0])
+    got = np.concatenate(outs)
+    want = sig.lfilter(taps, [1.0], x)
+    np.testing.assert_allclose(got, want, atol=5e-4)
