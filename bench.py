@@ -1,0 +1,127 @@
+"""Benchmark: complex Msamples/s/chip for the resample+filter chain.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Config is BASELINE.json #1/#2: cs16 -> DC -> shift -> resample
+2.048 -> 1.488375 Msps -> lowpass FIR -> cs16, batched over enough
+channels to saturate the chip.  The metric counts INPUT complex samples
+per second per chip.
+
+Baseline: the C reference cannot be built in this image (liquid-dsp and
+libsndfile are absent), so the stand-in baseline is the same chain in
+single-threaded scipy/numpy on the host CPU (measured once and cached in
+BASELINE_MEASURED.json with provenance).  The reference's own thread
+pipeline cannot beat its slowest stage, so this proxy is the right order
+of magnitude for the multi-threaded C build on this host.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+CACHE = os.path.join(HERE, "BASELINE_MEASURED.json")
+
+IN_RATE = 2_048_000.0
+OUT_RATE = 1_488_375.0
+LOWPASS_HZ = 400_000.0
+
+
+def measure_cpu_baseline() -> float:
+    """Single-thread scipy chain: Msamples/s on the host CPU."""
+    import scipy.signal as sig
+
+    n = 1 << 19
+    rng = np.random.default_rng(0)
+    raw = rng.integers(-2 ** 15, 2 ** 15, n * 2).astype(np.int16)
+    taps = sig.firwin(101, LOWPASS_HZ / (OUT_RATE / 2)).astype(np.float32)
+    p, q = 11907, 16384
+
+    def run_once():
+        x = raw.astype(np.float32) / 32768.0
+        xc = (x[0::2] + 1j * x[1::2]).astype(np.complex64)
+        # dc block (vectorized lfilter), shift, resample, lowpass, quantize
+        b = np.array([1.0, -1.0], np.float32)
+        a = np.array([1.0, -(1.0 - 2 * np.pi * 10 / IN_RATE)], np.float32)
+        xc = sig.lfilter(b, a, xc)
+        ph = np.exp(2j * np.pi * 100e3 / IN_RATE * np.arange(len(xc)))
+        xc = xc * ph
+        y = sig.resample_poly(xc, p, q)
+        y = sig.lfilter(taps, [1.0], y)
+        v = np.empty(len(y) * 2, np.float32)
+        v[0::2], v[1::2] = y.real, y.imag
+        v *= 32767.0
+        np.clip(np.trunc(np.where(v > 0, v + 0.5, v - 0.5)), -32768, 32767
+                ).astype(np.int16)
+
+    run_once()  # warm caches
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        run_once()
+    dt = time.perf_counter() - t0
+    return n * iters / dt / 1e6
+
+
+def measure_tpu(channels: int = 8, iters: int = 30) -> float:
+    import jax
+
+    from iq_tool_tpu.ops.fir_design import FilterRequest
+    from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+
+    chain = Chain(ChainConfig(
+        input_format="cs16", output_format="cs16",
+        input_rate=IN_RATE, target_rate=OUT_RATE,
+        channels=channels,
+        dc_block=True,
+        freq_shift_pre_hz=100_000.0,
+        filters=[FilterRequest("lowpass", LOWPASS_HZ)],
+        target_block=1 << 17,
+    ))
+    rng = np.random.default_rng(0)
+    raw = rng.integers(-2 ** 15, 2 ** 15,
+                       (channels, chain.in_wire_len)).astype(np.int16)
+    raw_dev = jax.device_put(raw)
+    carry = chain.init_carry()
+    reset = np.False_
+
+    carry, out = chain.step(carry, raw_dev, reset)   # compile
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carry, out = chain.step(carry, raw_dev, reset)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    samples = channels * chain.n_in * iters
+    return samples / dt / 1e6
+
+
+def main():
+    if os.path.isfile(CACHE):
+        with open(CACHE) as f:
+            baseline = json.load(f)["cpu_msps"]
+    else:
+        baseline = measure_cpu_baseline()
+        with open(CACHE, "w") as f:
+            json.dump({"cpu_msps": baseline,
+                       "note": "single-thread scipy chain proxy; the C "
+                               "reference is unbuildable here (no liquid-dsp)",
+                       "chain": "cs16 dc+shift+resample(11907/16384)+lowpass"},
+                      f, indent=1)
+
+    value = measure_tpu()
+    print(json.dumps({
+        "metric": "complex Msamples/s/chip (resample+filter chain, input rate)",
+        "value": round(value, 2),
+        "unit": "Msamples/s",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

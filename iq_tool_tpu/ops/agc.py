@@ -75,27 +75,43 @@ def reset(state: AgcState) -> AgcState:
     return init(state.gain.shape[0])
 
 
-def _apply_rms(x: jnp.ndarray, state: AgcState, cfg: AgcConfig):
-    bw = C.AGC_BW_DX if cfg.profile == "dx" else C.AGC_BW_LOCAL
-    seg = C.AGC_SEGMENT
-    c, n = x.shape
-    n_seg = max(n // seg, 1)
-    seg = n // n_seg
-    beta = np.float32(1.0 - (1.0 - bw) ** seg)
-    t2 = jnp.float32(cfg.target * cfg.target)
-
-    xs = x[:, : n_seg * seg].reshape(c, n_seg, seg)
-    e_in = jnp.mean(jnp.abs(xs) ** 2, axis=-1).T  # (n_seg, C)
+def rms_scan(e_in: jnp.ndarray, gain: jnp.ndarray, e2: jnp.ndarray,
+             beta: float, target: float):
+    """The per-segment RMS gain loop: e_in (n_seg, C) mean input energies ->
+    (gains (n_seg, C), final gain, final e2).  Exposed separately so the
+    time-sharded path can run the identical scan over all-gathered
+    segment energies (exact cross-shard semantics)."""
+    beta = jnp.float32(beta)
+    t2 = jnp.float32(target * target)
 
     def body(carry, e_seg):
-        g, e2 = carry
+        g, e2_ = carry
         e_out = e_seg * g * g
-        e2_new = (1.0 - beta) * e2 + beta * e_out
+        e2_new = (1.0 - beta) * e2_ + beta * e_out
         g_new = g * jnp.exp(-0.5 * beta * jnp.log(
             jnp.maximum(e2_new, 1e-16) / t2))
         return (g_new, e2_new), g_new
 
-    (g_fin, e2_fin), gains = jax.lax.scan(body, (state.gain, state.e2), e_in)
+    (g_fin, e2_fin), gains = jax.lax.scan(body, (gain, e2), e_in)
+    return gains, g_fin, e2_fin
+
+
+def rms_params(cfg: AgcConfig, n: int) -> tuple[int, int, float]:
+    """(n_seg, seg_len, beta) for a block of n samples."""
+    bw = C.AGC_BW_DX if cfg.profile == "dx" else C.AGC_BW_LOCAL
+    seg = C.AGC_SEGMENT
+    n_seg = max(n // seg, 1)
+    seg = n // n_seg
+    beta = float(1.0 - (1.0 - bw) ** seg)
+    return n_seg, seg, beta
+
+
+def _apply_rms(x: jnp.ndarray, state: AgcState, cfg: AgcConfig):
+    c, n = x.shape
+    n_seg, seg, beta = rms_params(cfg, n)
+    xs = x[:, : n_seg * seg].reshape(c, n_seg, seg)
+    e_in = jnp.mean(jnp.abs(xs) ** 2, axis=-1).T  # (n_seg, C)
+    gains, g_fin, e2_fin = rms_scan(e_in, state.gain, state.e2, beta, cfg.target)
     y = (xs * gains.T[:, :, None]).reshape(c, n_seg * seg)
     if n_seg * seg < n:  # ragged tail (only for tiny blocks)
         y = jnp.concatenate([y, x[:, n_seg * seg:] * g_fin[:, None]], axis=-1)
@@ -104,13 +120,14 @@ def _apply_rms(x: jnp.ndarray, state: AgcState, cfg: AgcConfig):
     return y.astype(jnp.complex64), new_state
 
 
-def _apply_digital(x: jnp.ndarray, state: AgcState, cfg: AgcConfig):
-    n = x.shape[-1]
+def digital_update(state: AgcState, block_peak: jnp.ndarray, n: int,
+                   cfg: AgcConfig):
+    """The digital-profile per-block state machine given the block peak
+    (exposed so the time-sharded path can feed a pmax'd global peak).
+    Returns (gain_to_apply (C,), new_state)."""
     target = jnp.float32(cfg.target)
     lock_samples = jnp.uint32(int(C.AGC_DIGITAL_SCAN_SEC * cfg.sample_rate))
     hang_samples = jnp.uint32(int(C.AGC_DIGITAL_HANG_SEC * cfg.sample_rate))
-
-    block_peak = jnp.max(jnp.abs(x), axis=-1)          # (C,)
 
     # PHASE A (scanning)
     peak_mem_a = jnp.maximum(state.peak_mem, block_peak)
@@ -139,11 +156,18 @@ def _apply_digital(x: jnp.ndarray, state: AgcState, cfg: AgcConfig):
     new_peak = jnp.where(locked, state.peak_mem, peak_mem_a)
     new_weak = jnp.where(locked, weak_run_b, jnp.uint32(0))
 
-    y = x * gain_out[:, None]
     new_state = AgcState(gain=new_gain, e2=state.e2, peak_mem=new_peak,
                          locked=new_locked,
                          samples_seen=state.samples_seen + jnp.uint32(n),
                          weak_run=new_weak)
+    return gain_out, new_state
+
+
+def _apply_digital(x: jnp.ndarray, state: AgcState, cfg: AgcConfig):
+    n = x.shape[-1]
+    block_peak = jnp.max(jnp.abs(x), axis=-1)          # (C,)
+    gain_out, new_state = digital_update(state, block_peak, n, cfg)
+    y = x * gain_out[:, None]
     return y.astype(jnp.complex64), new_state
 
 

@@ -155,7 +155,7 @@ def _optimize_channel(x: jnp.ndarray, factors: jnp.ndarray,
 
 
 def maybe_update(x: jnp.ndarray, state: IqState, interval_samples: int,
-                 passes: int = 25) -> IqState:
+                 passes: int = 25, advance_samples: int | None = None) -> IqState:
     """Run the rate-limited, power-gated estimator on a block.
 
     x: (C, N) complex64 — the *pre-correction* block (the reference taps the
@@ -184,8 +184,9 @@ def maybe_update(x: jnp.ndarray, state: IqState, interval_samples: int,
     factors = jnp.where(run[:, None], smoothed, state.factors)
     # counter: reset when an update ran (any channel due+gated keeps the
     # reference's global 500 ms cadence), else saturating add
+    adv = jnp.uint32(advance_samples if advance_samples is not None else n)
     new_counter = jnp.where(due & jnp.any(gate), jnp.uint32(0),
-                            jnp.minimum(counter + jnp.uint32(n), jnp.uint32(0xF0000000)))
+                            jnp.minimum(counter + adv, jnp.uint32(0xF0000000)))
     return IqState(factors=factors, samples_since_opt=new_counter)
 
 
