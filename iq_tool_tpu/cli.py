@@ -112,6 +112,14 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--filter-fft-size", type=int, metavar="N",
                    help="FFT size for the fft filter (power of two)")
 
+    g = p.add_argument_group("SDR General Options")
+    g.add_argument("--sdr-rf-freq", type=float, metavar="HZ",
+                   help="(Required for SDR inputs) Tuner center frequency in Hz")
+    g.add_argument("--sdr-sample-rate", type=float, metavar="HZ",
+                   help="SDR sample rate in Hz (device-specific default)")
+    g.add_argument("--sdr-bias-t", action="store_true",
+                   help="Enable Bias-T power")
+
     g = p.add_argument_group("Performance Options")
     g.add_argument("--block-size", type=int, default=C.DEFAULT_BLOCK_SIZE,
                    metavar="N", help="Device block size in frames")

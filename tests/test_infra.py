@@ -1,0 +1,153 @@
+"""Packet serializer (incl. corruption resync), watchdog, checkpoint/resume."""
+
+import time
+
+import numpy as np
+import pytest
+
+from iq_tool_tpu.io import packets
+from iq_tool_tpu.utils.ringbuffer import RingBuffer
+from iq_tool_tpu.utils.watchdog import Watchdog
+
+
+def test_packet_roundtrip_interleaved(rng):
+    ring = RingBuffer(1 << 20)
+    data = rng.integers(0, 256, 50_000 * 2, dtype=np.uint8).tobytes()
+    dropped = packets.write_interleaved_chunks(ring, data, "cu8")
+    assert dropped == 0
+    ring.signal_end_of_stream()
+    r = packets.PacketReader(ring)
+    got = b""
+    sizes = []
+    while (p := r.read_packet()) is not None:
+        assert p.format_name == "cu8"
+        sizes.append(p.num_samples)
+        got += p.payload
+    assert got == data
+    assert max(sizes) <= packets.MAX_PACKET_SAMPLES
+    assert r.resync_count == 0
+
+
+def test_packet_planar_reinterleave(rng):
+    ring = RingBuffer(1 << 20)
+    xi = rng.integers(-2 ** 15, 2 ** 15, 20_000, dtype=np.int16)
+    xq = rng.integers(-2 ** 15, 2 ** 15, 20_000, dtype=np.int16)
+    assert packets.write_planar_shorts(ring, xi, xq) == 0
+    ring.signal_end_of_stream()
+    r = packets.PacketReader(ring)
+    got = b""
+    while (p := r.read_packet()) is not None:
+        got += p.payload
+    out = np.frombuffer(got, np.int16)
+    np.testing.assert_array_equal(out[0::2], xi)
+    np.testing.assert_array_equal(out[1::2], xq)
+
+
+def test_packet_resync_after_corruption(rng):
+    ring = RingBuffer(1 << 20)
+    a = rng.integers(0, 256, 1000 * 2, dtype=np.uint8).tobytes()
+    b = rng.integers(0, 256, 1000 * 2, dtype=np.uint8).tobytes()
+    packets.write_interleaved_chunks(ring, a, "cu8")
+    ring.write(b"\xde\xad\xbe\xef" * 7)          # corruption between packets
+    packets.write_interleaved_chunks(ring, b, "cu8")
+    ring.signal_end_of_stream()
+    r = packets.PacketReader(ring)
+    p1 = r.read_packet()
+    p2 = r.read_packet()
+    assert p1.payload == a
+    assert p2 is not None and p2.payload == b
+    assert r.resync_count > 0
+
+
+def test_packet_reset_event():
+    ring = RingBuffer(4096)
+    packets.write_reset_event(ring, "cs16")
+    packets.write_interleaved_chunks(ring, b"\x01\x02\x03\x04", "cs16")
+    ring.signal_end_of_stream()
+    r = packets.PacketReader(ring)
+    p = r.read_packet()
+    assert p.reset and p.num_samples == 0
+    p = r.read_packet()
+    assert not p.reset and p.payload == b"\x01\x02\x03\x04"
+
+
+def test_packet_overrun_drops(rng):
+    ring = RingBuffer(1024)
+    data = rng.integers(0, 256, 10_000 * 2, dtype=np.uint8).tobytes()
+    dropped = packets.write_interleaved_chunks(ring, data, "cu8")
+    assert dropped > 0
+
+
+def test_watchdog_fires():
+    fired = []
+    hb = time.monotonic() - 100.0
+    w = Watchdog(lambda: hb, stale_sec=0.2, poll_sec=0.05,
+                 on_stale=lambda msg: fired.append(msg))
+    w.start()
+    time.sleep(0.4)
+    w.stop()
+    assert fired and "stalled" in fired[0]
+
+
+def test_watchdog_quiet_when_alive():
+    fired = []
+    w = Watchdog(time.monotonic, stale_sec=1.0, poll_sec=0.05,
+                 on_stale=lambda msg: fired.append(msg))
+    w.start()
+    time.sleep(0.3)
+    w.stop()
+    assert not fired
+
+
+def test_checkpoint_resume_exact(tmp_path, rng):
+    """Resuming mid-stream reproduces the uninterrupted output exactly."""
+    from iq_tool_tpu.ops.fir_design import FilterRequest
+    from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+    from iq_tool_tpu.pipeline.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = ChainConfig(input_format="cs16", output_format="cs16",
+                      input_rate=2_048_000.0, target_rate=1_488_375.0,
+                      dc_block=True, agc_profile="local",
+                      filters=[FilterRequest("lowpass", 400_000.0)],
+                      target_block=4096)
+    ch = Chain(cfg)
+    raws = [rng.integers(-2 ** 14, 2 ** 14, (1, ch.in_wire_len)).astype(np.int16)
+            for _ in range(4)]
+
+    # uninterrupted run
+    carry = ch.init_carry()
+    outs = []
+    for raw in raws:
+        carry, out = ch.step(carry, raw, np.False_)
+        outs.append(np.asarray(out))
+
+    # run 2 blocks, checkpoint, reload, run the rest
+    carry = ch.init_carry()
+    for raw in raws[:2]:
+        carry, out = ch.step(carry, raw, np.False_)
+    path = str(tmp_path / "state.ckpt")
+    save_checkpoint(path, carry, frames_in=2 * ch.n_in,
+                    frames_out=2 * ch.n_out, meta={"cfg": "test"})
+
+    carry2, fin, fout, extra = load_checkpoint(path, ch.init_carry())
+    assert fin == 2 * ch.n_in and fout == 2 * ch.n_out
+    assert extra == {"cfg": "test"}
+    for i, raw in enumerate(raws[2:]):
+        carry2, out = ch.step(carry2, raw, np.False_)
+        np.testing.assert_array_equal(np.asarray(out), outs[2 + i])
+
+
+def test_checkpoint_rejects_mismatched_chain(tmp_path, rng):
+    from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+    from iq_tool_tpu.pipeline.checkpoint import load_checkpoint, save_checkpoint
+
+    ch1 = Chain(ChainConfig(input_format="cs16", output_format="cs16",
+                            input_rate=1_000_000.0, target_rate=500_000.0,
+                            target_block=4096))
+    ch2 = Chain(ChainConfig(input_format="cs16", output_format="cs16",
+                            input_rate=1_000_000.0, target_rate=250_000.0,
+                            target_block=4096))
+    path = str(tmp_path / "s.ckpt")
+    save_checkpoint(path, ch1.init_carry(), 0, 0)
+    with pytest.raises(ValueError, match="mismatch|structure|treedef|leaves"):
+        load_checkpoint(path, ch2.init_carry())
