@@ -124,6 +124,18 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--block-size", type=int, default=C.DEFAULT_BLOCK_SIZE,
                    metavar="N", help="Device block size in frames")
 
+    g = p.add_argument_group("Reliability Options")
+    g.add_argument("--log-level", default="info", metavar="L",
+                   help="Log level {trace|debug|info|warn|error} (default info)")
+    g.add_argument("--checkpoint", metavar="FILE",
+                   help="Periodically persist stream state for resume")
+    g.add_argument("--checkpoint-interval", type=float, default=30.0,
+                   metavar="SEC", help="Checkpoint cadence (default 30 s)")
+    g.add_argument("--resume", action="store_true",
+                   help="Resume from an existing --checkpoint file")
+    g.add_argument("--no-watchdog", action="store_true",
+                   help="Disable the stalled-stream watchdog on live inputs")
+
     for mod in list(INPUT_MODULES.values()) + list(OUTPUT_MODULES.values()):
         mod.add_cli_options(p)
     return p
@@ -151,6 +163,7 @@ def config_from_args(args) -> AppConfig:
         filter_fft_size=args.filter_fft_size,
         preset_name=args.preset,
         force_overwrite=args.force_overwrite,
+        resume=getattr(args, 'resume', False),
     )
     if cfg.preset_name:
         presets, path = load_presets()
@@ -247,6 +260,22 @@ def main(argv=None) -> int:
             print(f"  {name:<22} {pr.values.get('description', '')}")
         return 0
 
+    from iq_tool_tpu.utils.log import configure as configure_log, get_logger
+    configure_log(args.log_level)
+    log = get_logger("cli")
+
+    # SIGTERM behaves like Ctrl-C: finalize outputs, print partial summary
+    # (signal_handler.c:53-147 semantics)
+    import signal
+
+    def _sigterm(_sig, _frm):
+        raise KeyboardInterrupt
+    try:
+        signal.signal(signal.SIGTERM, _sigterm)
+    except ValueError:
+        pass  # not the main thread (library use)
+
+    watchdog = None
     try:
         cfg = config_from_args(args)
         source = get_input(cfg.input_type)
@@ -257,6 +286,34 @@ def main(argv=None) -> int:
         validate(cfg)
         chain = build_chain(cfg, args.block_size)
         sink.initialize(cfg, args)
+
+        # pre-stream I/Q calibration for rewindable sources
+        # (iq_correct.c:237-302)
+        initial_carry = None
+        if chain and cfg.iq_correction:
+            cal = source.calibration_frames(C.IQ_FFT_SIZE)
+            if cal is not None:
+                import jax
+                import numpy as _np
+
+                from iq_tool_tpu.ops import convert, iq_balance
+                wire = _np.frombuffer(cal, chain.in_wire_dtype)[None, :]
+                factors = jax.jit(lambda r: iq_balance.calibrate(
+                    convert.to_cf32(r, chain.fmt_in, cfg.gain)))(wire)
+                log.info("pre-stream I/Q calibration complete")
+                initial_carry = chain.init_carry()
+                initial_carry["iq"] = initial_carry["iq"]._replace(
+                    factors=factors)
+
+        if source.is_realtime and not args.no_watchdog:
+            import time as _time
+
+            from iq_tool_tpu.utils.watchdog import Watchdog
+            if hasattr(source, "heartbeat"):
+                t_grace = _time.monotonic()
+                watchdog = Watchdog(
+                    lambda: max(getattr(source, "heartbeat", 0.0), t_grace))
+                watchdog.start()
 
         summary_items = {"Input Type": cfg.input_type,
                          "Input Rate": f"{cfg.input_rate:.6g} Hz",
@@ -273,9 +330,15 @@ def main(argv=None) -> int:
         engine = StreamEngine(chain, source, sink,
                               raw_passthrough=cfg.raw_passthrough,
                               progress=_progress if sink.requires_output_path else None,
-                              progress_total_frames=info.total_frames)
+                              progress_total_frames=info.total_frames,
+                              checkpoint_path=args.checkpoint,
+                              checkpoint_interval_sec=args.checkpoint_interval,
+                              resume=args.resume,
+                              initial_carry=initial_carry)
         t0 = time.monotonic()
         s = engine.run()
+        if watchdog:
+            watchdog.stop()
         sink.finalize()
         source.close()
         if sink.requires_output_path:

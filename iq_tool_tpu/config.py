@@ -43,6 +43,7 @@ class AppConfig:
     filter_fft_size: int | None = None
     preset_name: str | None = None
     force_overwrite: bool = False
+    resume: bool = False
     # filled at setup time
     input_rate: float | None = None
     input_format: str | None = None

@@ -62,6 +62,9 @@ class RawFileInput(InputModule):
             if len(buf) < want:
                 return
 
+    def seek_frames(self, frame: int) -> None:
+        self._f.seek(frame * self._fmt.bytes_per_frame)
+
     def calibration_frames(self, n: int) -> bytes | None:
         pos = self._f.tell()
         buf = self._f.read(n * self._fmt.bytes_per_frame)

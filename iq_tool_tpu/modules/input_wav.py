@@ -69,6 +69,9 @@ class WavInput(InputModule):
             if len(buf) < frames_per_block * self._r.bytes_per_frame:
                 return
 
+    def seek_frames(self, frame: int) -> None:
+        self._r.seek_frames(frame)
+
     def calibration_frames(self, n: int) -> bytes | None:
         pos = self._r._pos_frames
         self._r.seek_frames(0)

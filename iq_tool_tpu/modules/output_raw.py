@@ -33,6 +33,14 @@ class RawFileOutput(OutputModule):
             raise ValueError("raw output requires an output file path")
         flags = os.O_WRONLY | os.O_CREAT | getattr(os, "O_NOFOLLOW", 0)
         exists = os.path.lexists(self._path)
+        if exists and getattr(config, "resume", False):
+            # resuming a checkpointed stream: append to the partial output
+            if os.path.islink(self._path) or not stat.S_ISREG(os.stat(self._path).st_mode):
+                raise ValueError(f"refusing to resume into: {self._path}")
+            fd = os.open(self._path, os.O_WRONLY | os.O_APPEND
+                         | getattr(os, "O_NOFOLLOW", 0))
+            self._f = os.fdopen(fd, "wb", buffering=1 << 20)
+            return
         if exists:
             if os.path.islink(self._path):
                 raise ValueError(f"refusing to write through symlink: {self._path}")

@@ -40,7 +40,11 @@ class StreamSummary:
 class StreamEngine:
     def __init__(self, chain: Chain | None, source: InputModule,
                  sink: OutputModule, raw_passthrough: bool = False,
-                 progress=None, progress_total_frames: int | None = None):
+                 progress=None, progress_total_frames: int | None = None,
+                 checkpoint_path: str | None = None,
+                 checkpoint_interval_sec: float = 30.0,
+                 resume: bool = False,
+                 initial_carry=None):
         if chain is None and not raw_passthrough:
             raise ValueError("need a chain unless raw_passthrough")
         self.chain = chain
@@ -49,6 +53,10 @@ class StreamEngine:
         self.raw_passthrough = raw_passthrough
         self.progress = progress
         self.total_frames = progress_total_frames
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_interval = checkpoint_interval_sec
+        self.resume = resume
+        self.initial_carry = initial_carry
 
     # ---------------------------------------------------------------------
 
@@ -76,10 +84,27 @@ class StreamEngine:
         block_bytes = n_in * bpf
         out_bpf = ch.fmt_out.bytes_per_frame
 
-        carry = ch.init_carry(1)
+        carry = (self.initial_carry if self.initial_carry is not None
+                 else ch.init_carry(1))
         s = StreamSummary()
+
+        skip_frames = 0
+        if self.resume and self.checkpoint_path:
+            import os
+
+            from iq_tool_tpu.pipeline.checkpoint import load_checkpoint
+            if os.path.isfile(self.checkpoint_path):
+                carry, fin, fout, _ = load_checkpoint(self.checkpoint_path,
+                                                      carry)
+                s.frames_in, s.frames_out = fin, fout
+                skip_frames = fin
+                if hasattr(self.source, "seek_frames"):
+                    self.source.seek_frames(fin)
+                    skip_frames = 0
+
         t0 = time.monotonic()
         last_prog = t0
+        last_ckpt = t0
 
         pending = None            # (device array, frames_to_emit)
         buf = bytearray()
@@ -116,6 +141,20 @@ class StreamEngine:
         def _pending_frames():
             return pending[1] if pending else 0
 
+        skip_bytes = skip_frames * bpf
+
+        def maybe_checkpoint(now: float, last: float) -> float:
+            if (self.checkpoint_path
+                    and now - last >= self.checkpoint_interval):
+                from iq_tool_tpu.pipeline.checkpoint import save_checkpoint
+                # flush first so (carry, frames_in, frames_out) is a
+                # consistent cut: everything consumed has been written
+                flush_pending()
+                save_checkpoint(self.checkpoint_path, carry,
+                                s.frames_in, s.frames_out)
+                return now
+            return last
+
         try:
             while not eos:
                 block = next(src, None)
@@ -125,14 +164,21 @@ class StreamEngine:
                     if block.discontinuity:
                         # process what we have, then reset on the next block
                         pending_reset = True
-                    buf.extend(block.payload)
+                    payload = block.payload
+                    if skip_bytes:          # resume on a non-seekable source
+                        drop = min(skip_bytes, len(payload))
+                        payload = payload[drop:]
+                        skip_bytes -= drop
+                    buf.extend(payload)
                 while len(buf) >= block_bytes:
                     chunk = bytes(buf[:block_bytes])
                     del buf[:block_bytes]
                     out, emit = process(chunk, n_in, pending_reset)
                     pending_reset = False
                     pending = (out, emit)
+                    now = time.monotonic()
                     last_prog = self._progress_tick(s, t0, last_prog)
+                    last_ckpt = maybe_checkpoint(now, last_ckpt)
                 if eos and buf:
                     valid = len(buf) // bpf
                     out, emit = process(bytes(buf), valid, pending_reset)
@@ -142,6 +188,10 @@ class StreamEngine:
         except KeyboardInterrupt:
             s.interrupted = True
             flush_pending()
+        if self.checkpoint_path:
+            from iq_tool_tpu.pipeline.checkpoint import save_checkpoint
+            save_checkpoint(self.checkpoint_path, carry,
+                            s.frames_in, s.frames_out)
         s.duration_sec = time.monotonic() - t0
         return s
 
