@@ -30,6 +30,14 @@ from iq_tool_tpu.modules.base import Block, InputModule, SourceInfo
 from iq_tool_tpu.utils.ringbuffer import RingBuffer
 
 
+def _make_ring(capacity: int):
+    """Native C++ ring when built (multi-GB/s path), Python fallback."""
+    from iq_tool_tpu import native
+    if native.available():
+        return native.NativeRingBuffer(capacity)
+    return RingBuffer(capacity)
+
+
 def _require(args, name: str, flag: str):
     v = getattr(args, name, None)
     if not v:
@@ -83,7 +91,7 @@ class _SdrInputBase(InputModule):
     ring_bytes = 64 << 20
 
     def __init__(self):
-        self._ring = RingBuffer(self.ring_bytes)
+        self._ring = _make_ring(self.ring_bytes)
         self._stop = threading.Event()
         self.heartbeat = 0.0
         self._rate = self.default_rate

@@ -21,6 +21,14 @@ from iq_tool_tpu.formats import get_format
 from iq_tool_tpu.modules.base import Block, InputModule, SourceInfo
 from iq_tool_tpu.utils.ringbuffer import RingBuffer
 
+
+def _make_ring(capacity: int):
+    """Native C++ ring when built (multi-GB/s path), Python fallback."""
+    from iq_tool_tpu import native
+    if native.available():
+        return native.NativeRingBuffer(capacity)
+    return RingBuffer(capacity)
+
 PROTOCOL_VERSION = (2 << 24) | (0 << 16) | 1700
 
 CMD_HELLO = 0
@@ -187,7 +195,7 @@ class SpyServerInput(InputModule):
         self._send_setting(SETTING_IQ_DIGITAL_GAIN, int(dg))
         self._send_setting(SETTING_STREAMING_MODE, STREAM_MODE_IQ_ONLY)
 
-        self._ring = RingBuffer(STREAM_BUFFER_BYTES)
+        self._ring = _make_ring(STREAM_BUFFER_BYTES)
         return SourceInfo(sample_rate=self._rate,
                           sample_format=final_fmt, total_frames=None)
 
