@@ -119,10 +119,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="SDR sample rate in Hz (device-specific default)")
     g.add_argument("--sdr-bias-t", action="store_true",
                    help="Enable Bias-T power")
+    g.add_argument("--sdr-buffered", action="store_true",
+                   help="Buffered capture mode: frame SDR samples as IQPK "
+                        "packets (corruption resync, reset events) through "
+                        "the capture ring instead of raw bytes")
 
     g = p.add_argument_group("Performance Options")
     g.add_argument("--block-size", type=int, default=C.DEFAULT_BLOCK_SIZE,
                    metavar="N", help="Device block size in frames")
+    g.add_argument("--profile-dir", metavar="DIR",
+                   help="Capture a jax.profiler trace of the run into DIR "
+                        "(view with tensorboard/xprof)")
 
     g = p.add_argument_group("Reliability Options")
     g.add_argument("--log-level", default="info", metavar="L",
@@ -217,11 +224,13 @@ def _print_summary_table(title: str, items: dict, file=sys.stderr) -> None:
 def _progress(summary, elapsed, total_frames) -> None:
     mb = summary.bytes_out / 1e6
     rate = mb / elapsed if elapsed > 0 else 0.0
+    msps = summary.frames_in / 1e6 / elapsed if elapsed > 0 else 0.0
     pct = ""
     if total_frames:
         pct = f" ({100.0 * summary.frames_in / total_frames:5.1f}%)"
     print(f"\r  {summary.frames_out} frames out{pct}  {mb:.1f} MB  "
-          f"{rate:.1f} MB/s", end="", file=sys.stderr, flush=True)
+          f"{rate:.1f} MB/s  {msps:.1f} Msps", end="", file=sys.stderr,
+          flush=True)
 
 
 _NUM_RE = None
@@ -336,7 +345,13 @@ def main(argv=None) -> int:
                               resume=args.resume,
                               initial_carry=initial_carry)
         t0 = time.monotonic()
-        s = engine.run()
+        if args.profile_dir:
+            import jax
+            with jax.profiler.trace(args.profile_dir):
+                s = engine.run()
+            log.info("profiler trace written to %s", args.profile_dir)
+        else:
+            s = engine.run()
         if watchdog:
             watchdog.stop()
         sink.finalize()

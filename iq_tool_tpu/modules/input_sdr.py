@@ -96,17 +96,44 @@ class _SdrInputBase(InputModule):
         self.heartbeat = 0.0
         self._rate = self.default_rate
         self._fmt = None
+        self._buffered = False
 
     def _common_init(self, args) -> None:
         from iq_tool_tpu.formats import get_format
         _require(args, "sdr_rf_freq", "--sdr-rf-freq")
         self._rate = getattr(args, "sdr_sample_rate", None) or self.default_rate
         self._fmt = get_format(self.native_format)
+        self._buffered = bool(getattr(args, "sdr_buffered", False))
+
+    # -- producer-side helpers (hardware callbacks call these) ----------------
+
+    def _deliver(self, payload: bytes) -> None:
+        """Samples from the hardware callback into the ring (realtime: raw
+        bytes; buffered: IQPK packets with resync framing)."""
+        if self._buffered:
+            from iq_tool_tpu.io import packets
+            packets.write_interleaved_chunks(self._ring, payload,
+                                             self._fmt.name)
+        else:
+            self._ring.write(payload)
+        self.heartbeat = time.monotonic()
+
+    def _deliver_reset(self) -> None:
+        """Stream discontinuity (e.g. sdrplay stream-reset events,
+        input_sdrplay.c:384-395)."""
+        if self._buffered:
+            from iq_tool_tpu.io import packets
+            packets.write_reset_event(self._ring, self._fmt.name)
+
+    # -- consumer side ----------------------------------------------------------
 
     def blocks(self, frames_per_block: int) -> Iterator[Block]:
+        self._start_hardware()
+        if self._buffered:
+            yield from self._packet_blocks(frames_per_block)
+            return
         bpf = self._fmt.bytes_per_frame
         want = frames_per_block * bpf
-        self._start_hardware()
         while True:
             buf = self._ring.read(want)
             if not buf:
@@ -114,6 +141,31 @@ class _SdrInputBase(InputModule):
             yield Block(payload=buf[: len(buf) // bpf * bpf])
             if len(buf) < want:
                 return
+
+    def _packet_blocks(self, frames_per_block: int) -> Iterator[Block]:
+        from iq_tool_tpu.io.packets import PacketReader
+        reader = PacketReader(self._ring)
+        bpf = self._fmt.bytes_per_frame
+        want = frames_per_block * bpf
+        buf = bytearray()
+        next_disc = False
+        while True:
+            p = reader.read_packet()
+            if p is None:
+                if buf:
+                    yield Block(payload=bytes(buf), discontinuity=next_disc)
+                return
+            if p.reset:
+                if buf:
+                    yield Block(payload=bytes(buf), discontinuity=next_disc)
+                    buf.clear()
+                next_disc = True
+                continue
+            buf.extend(p.payload)
+            while len(buf) >= want:
+                yield Block(payload=bytes(buf[:want]), discontinuity=next_disc)
+                next_disc = False
+                del buf[:want]
 
     def _start_hardware(self) -> None:
         raise NotImplementedError
@@ -186,8 +238,7 @@ class RtlSdrInput(_SdrInputBase):
                                                ctypes.byref(n_read))
                 if r != 0:
                     break
-                self._ring.write(bytes(buf[: n_read.value]))
-                self.heartbeat = time.monotonic()
+                self._deliver(bytes(buf[: n_read.value]))
             self._ring.signal_end_of_stream()
 
         threading.Thread(target=reader, daemon=True, name="rtlsdr-rx").start()

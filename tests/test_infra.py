@@ -151,3 +151,42 @@ def test_checkpoint_rejects_mismatched_chain(tmp_path, rng):
     save_checkpoint(path, ch1.init_carry(), 0, 0)
     with pytest.raises(ValueError, match="mismatch|structure|treedef|leaves"):
         load_checkpoint(path, ch2.init_carry())
+
+
+def test_sdr_buffered_packet_blocks(rng):
+    """Buffered capture: packets -> blocks with reset propagation."""
+    from iq_tool_tpu.modules.input_sdr import _SdrInputBase
+
+    class FakeSdr(_SdrInputBase):
+        name = "fake"
+        native_format = "cu8"
+
+        def initialize(self, config, args):
+            pass
+
+        def _start_hardware(self):
+            pass
+
+    class _A:
+        sdr_rf_freq = 1e6
+        sdr_sample_rate = None
+        sdr_buffered = True
+
+    mod = FakeSdr()
+    mod._common_init(_A())
+    a = rng.integers(0, 256, 5000 * 2, dtype=np.uint8).tobytes()
+    b = rng.integers(0, 256, 3000 * 2, dtype=np.uint8).tobytes()
+    mod._deliver(a)
+    mod._deliver_reset()
+    mod._deliver(b)
+    mod._ring.signal_end_of_stream()
+    blocks = list(mod.blocks(2048))
+    # stream content preserved and the first post-reset block flagged
+    payload = b"".join(blk.payload for blk in blocks)
+    assert payload == a + b
+    disc_flags = [blk.discontinuity for blk in blocks]
+    assert sum(disc_flags) == 1
+    # the discontinuity lands at the block containing the reset boundary
+    idx = disc_flags.index(True)
+    before = sum(len(blk.payload) for blk in blocks[:idx])
+    assert before <= len(a) <= before + len(blocks[idx].payload)
