@@ -22,7 +22,6 @@ from iq_tool_tpu.config import (AppConfig, apply_preset, collect_filter_requests
                                 resolve_rates, validate)
 from iq_tool_tpu.formats import complex_formats
 from iq_tool_tpu.modules import INPUT_MODULES, OUTPUT_MODULES, get_input, get_output
-from iq_tool_tpu.ops.fir_design import FilterRequest  # noqa: F401
 from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
 from iq_tool_tpu.pipeline.runtime import StreamEngine
 from iq_tool_tpu.presets import load_presets

@@ -32,8 +32,6 @@ Sequential recurrences that cross shards:
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -126,7 +124,6 @@ class ShardedChain:
     def init_carry(self):
         struct = self._carry_struct()
         ch_global = self.cfg.channels
-        mul = self.c_shards  # rep leaves built per-local then tiled? no:
 
         def build():
             out = {}
@@ -144,7 +141,6 @@ class ShardedChain:
         shardings = jax.tree_util.tree_map(
             lambda s: NamedSharding(self.mesh, s), specs,
             is_leaf=lambda x: isinstance(x, P))
-        _ = mul
         return jax.jit(build, out_shardings=shardings)()
 
     def carry_specs(self) -> dict:

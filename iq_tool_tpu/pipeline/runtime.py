@@ -82,7 +82,6 @@ class StreamEngine:
         bpf = fmt.bytes_per_frame
         n_in = ch.n_in
         block_bytes = n_in * bpf
-        out_bpf = ch.fmt_out.bytes_per_frame
 
         carry = (self.initial_carry if self.initial_carry is not None
                  else ch.init_carry(1))

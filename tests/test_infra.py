@@ -190,3 +190,15 @@ def test_sdr_buffered_packet_blocks(rng):
     idx = disc_flags.index(True)
     before = sum(len(blk.payload) for blk in blocks[:idx])
     assert before <= len(a) <= before + len(blocks[idx].payload)
+
+
+def test_api_demo_example():
+    """The examples/api_demo.py script runs end to end."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "api_demo", os.path.join(os.path.dirname(__file__), "..",
+                                 "examples", "api_demo.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
