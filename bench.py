@@ -67,7 +67,9 @@ def measure_cpu_baseline() -> float:
     return n * iters / dt / 1e6
 
 
-def measure_tpu(channels: int = 8, iters: int = 30) -> float:
+def measure_tpu(channels: int = int(os.environ.get("IQ_BENCH_CHANNELS", 32)),
+                iters: int = int(os.environ.get("IQ_BENCH_ITERS", 30)),
+                block: int = int(os.environ.get("IQ_BENCH_BLOCK", 1 << 16))) -> float:
     import jax
 
     from iq_tool_tpu.ops.fir_design import FilterRequest
@@ -80,7 +82,7 @@ def measure_tpu(channels: int = 8, iters: int = 30) -> float:
         dc_block=True,
         freq_shift_pre_hz=100_000.0,
         filters=[FilterRequest("lowpass", LOWPASS_HZ)],
-        target_block=1 << 17,
+        target_block=block,
     ))
     rng = np.random.default_rng(0)
     raw = rng.integers(-2 ** 15, 2 ** 15,

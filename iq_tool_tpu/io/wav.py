@@ -146,18 +146,37 @@ class WavWriter:
     """
 
     def __init__(self, path_or_file, sample_rate: int, sample_format: str,
-                 container: str = "rf64"):
+                 container: str = "rf64", append: bool = False):
         if sample_format not in _BITS_BY_FORMAT:
             raise ValueError(
                 f"WAV output supports cs16/cu8 only, not '{sample_format}' "
                 "(output_wav_common.c:45-52)")
         self._own = isinstance(path_or_file, (str, os.PathLike))
-        self._f = open(path_or_file, "wb") if self._own else path_or_file
         self.container = container
         self.bits = _BITS_BY_FORMAT[sample_format]
         self.block_align = 2 * self.bits // 8
         self.sample_rate = int(sample_rate)
         self.data_bytes = 0
+        if append and self._own and os.path.exists(path_or_file):
+            # resume: adopt the existing container, seek to the end of data
+            r = WavReader(str(path_or_file))
+            info = r.info
+            r.close()
+            if info.bits != self.bits or info.sample_rate != self.sample_rate:
+                raise ValueError("existing WAV does not match the resumed "
+                                 "stream's format/rate")
+            if (info.is_rf64) != (container == "rf64"):
+                raise ValueError("existing WAV container differs")
+            self._f = open(path_or_file, "r+b")
+            self.data_bytes = info.data_bytes
+            self._data_start = info.data_offset
+            if container == "rf64":
+                self._ds64_pos = 12          # ds64 immediately after RF64 hdr
+            else:
+                self._data_size_pos = info.data_offset - 4
+            self._f.seek(info.data_offset + info.data_bytes)
+            return
+        self._f = open(path_or_file, "wb") if self._own else path_or_file
         self._write_header()
 
     def _write_header(self) -> None:

@@ -29,14 +29,16 @@ class _WavOutputBase(OutputModule):
         self._path = config.output_path
         if self._path is None:
             raise ValueError(f"{self.name} output requires an output file path")
+        resume = getattr(config, "resume", False)
         if os.path.lexists(self._path):
             if os.path.islink(self._path) or not stat.S_ISREG(os.stat(self._path).st_mode):
                 raise ValueError(f"refusing to overwrite: {self._path}")
-            if not getattr(config, "force_overwrite", False):
+            if not resume and not getattr(config, "force_overwrite", False):
                 raise ValueError(
                     f"output file exists: {self._path} (use --force-overwrite)")
         self._w = WavWriter(self._path, int(config.output_rate),
-                            config.output_format, container=self.container)
+                            config.output_format, container=self.container,
+                            append=resume)
 
     def write(self, payload: bytes) -> None:
         self._w.write(payload)
