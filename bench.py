@@ -67,10 +67,22 @@ def measure_cpu_baseline() -> float:
     return n * iters / dt / 1e6
 
 
-def measure_tpu(channels: int = int(os.environ.get("IQ_BENCH_CHANNELS", 32)),
-                iters: int = int(os.environ.get("IQ_BENCH_ITERS", 30)),
-                block: int = int(os.environ.get("IQ_BENCH_BLOCK", 1 << 16))) -> float:
+def measure_tpu(channels: int = int(os.environ.get("IQ_BENCH_CHANNELS", 128)),
+                block: int = int(os.environ.get("IQ_BENCH_BLOCK", 1 << 18)),
+                reps: int = int(os.environ.get("IQ_BENCH_REPS", 3))) -> float:
+    """Honest steady-state throughput.
+
+    Two gotchas of remote PJRT backends (axon) are handled explicitly:
+    * ``block_until_ready`` can return before the device actually runs the
+      program — only a host readback forces execution, so every timed run
+      ends with ``np.asarray`` of a checksum;
+    * per-dispatch tunnel latency is large and noisy, so the K step
+      iterations run INSIDE one compiled program (``lax.scan``) and the
+      per-step time is the difference between a long and a short scan
+      (constant compile/dispatch/readback overheads cancel).
+    """
     import jax
+    import jax.numpy as jnp
 
     from iq_tool_tpu.ops.fir_design import FilterRequest
     from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
@@ -88,19 +100,33 @@ def measure_tpu(channels: int = int(os.environ.get("IQ_BENCH_CHANNELS", 32)),
     raw = rng.integers(-2 ** 15, 2 ** 15,
                        (channels, chain.in_wire_len)).astype(np.int16)
     raw_dev = jax.device_put(raw)
-    carry = chain.init_carry()
-    reset = np.False_
 
-    carry, out = chain.step(carry, raw_dev, reset)   # compile
-    jax.block_until_ready(out)
+    def make(n_steps: int):
+        @jax.jit
+        def run(raw_in):
+            def body(carry, _):
+                carry, out = chain._step(carry, raw_in, jnp.bool_(False))
+                return carry, jnp.sum(out[:1, :8].astype(jnp.float32))
+            carry0 = chain._build_carry(channels)
+            _, sums = jax.lax.scan(body, carry0, None, length=n_steps)
+            return jnp.sum(sums)
+        return run
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        carry, out = chain.step(carry, raw_dev, reset)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    samples = channels * chain.n_in * iters
-    return samples / dt / 1e6
+    k1, k2 = 3, 13
+    f1, f2 = make(k1), make(k2)
+    float(f1(raw_dev))    # compile + warm
+    float(f2(raw_dev))
+    per = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(f1(raw_dev))
+        t1 = time.perf_counter()
+        float(f2(raw_dev))
+        t2 = time.perf_counter()
+        d = ((t2 - t1) - (t1 - t0)) / (k2 - k1)
+        per = d if per is None else min(per, d)
+    samples = channels * chain.n_in
+    return samples / per / 1e6
 
 
 def main():
