@@ -58,6 +58,8 @@ RESAMP_SEMILENGTH = 12              # taps per output = 2*semilength
 RESAMP_FC_FACTOR = 0.90             # cutoff margin (fraction of min Nyquist)
 RESAMP_MAX_DENOM = 65536            # Farey limit when rationalizing ratios
 RESAMP_OUTPUT_TILE = 128            # banded-matmul output tile (MXU lane dim)
+RESAMP_STAGE_MAX = 512              # max p_i/q_i factor per cascade stage
+RESAMP_GROUP_CAP = 256              # cap on g*max(p,q): bounds stage matmul width
 
 # ---- Watchdog / runtime ------------------------------------------------------
 WATCHDOG_POLL_SEC = 2.0             # constants.h:270

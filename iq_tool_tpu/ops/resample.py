@@ -4,31 +4,33 @@ Contract (src/resampler.c, setup.c:91-122): ratio = target_rate /
 input_rate, validated 0.001..1000; 60 dB stop-band attenuation
 (constants.h:137); streaming `execute`; reset on discontinuity.
 
-Architecture (mirrors liquid msresamp's staging, re-designed for XLA's
-static shapes):
-
-  [halfband decimators x s_d] -> [arbitrary-ratio stage, r in [0.5, 2)]
-                               -> [halfband interpolators x s_u]
+Architecture (MXU-first, re-designed from liquid msresamp's staging):
 
 * Ratios are rationalized to P/Q (Farey-bounded; exact for real-world
-  integer rate pairs).  The device block is sized so every stage sees a
-  static shape and produces EXACTLY n*P/Q outputs per block: n_in is a
-  multiple of 2^s_d * q_arb, so the fractional phase pattern of the
-  arbitrary stage repeats identically every block — no data-dependent
+  integer rate pairs), then P/Q is decomposed into a cascade of small
+  coprime rational stages p_i/q_i (prime-factor pairing, each factor
+  bounded so the stage's dense weight matrix stays VMEM-sized).  The
+  device block is a multiple of prod(q_i), so every stage sees a static
+  shape and produces EXACTLY n*p/q outputs per block — no data-dependent
   shapes, no fractional carry.
 
-* The arbitrary stage is an *analytic* polyphase: the set of fractional
-  phases is finite and known at setup, so the Kaiser-windowed-sinc kernel
-  is evaluated exactly at every needed (phase, tap) point into a dense
-  weight matrix W[M, K] (zero phase-quantization error — liquid quantizes
-  to a 64-entry filterbank and lerps; we don't have to).  Execution is a
-  static gather of input windows + einsum: out[c,m] = sum_k ext[c, idx[m,k]] * W[m,k].
+* Every stage is an *analytic* polyphase executed as ONE dense MXU
+  matmul: the finite set of fractional phases is evaluated exactly into
+  per-phase Kaiser-sinc weights (zero phase-quantization error — liquid
+  quantizes to a 64-entry filterbank and lerps), which are densified
+  into a banded matrix A[L, G] with A[s_m + k, m] = W[m, k].  Input
+  windows of length L at stride g*q are built by two reshaped slices
+  (overlap = K-1 tap history), and out = windows @ A runs on the MXU.
+  This trades pad flops (the band is ~K wide inside L) for eliminating
+  the gather that would otherwise materialize a (C, M, K) tensor —
+  on TPU the MXU flops are free relative to the HBM traffic saved.
 
-* Halfband stages are strided MXU convolutions (decim) / polyphase
-  two-branch interpolators (interp) with half-zero Kaiser halfband taps.
+* A single-stage gather path (`_ArbStage`) remains as the fallback for
+  ratios whose rationalization has a prime factor too large to stage.
 
-Per-stream carry: a tuple of input tails, one per stage.  Streaming delay
-of the arbitrary stage is `semilength` input samples (kernel centered).
+Per-stream carry: a tuple of per-stage input tails (the K-1 most recent
+input samples of that stage), which is also what the time-sharded mesh
+exchanges as halos (parallel/sharded.py).
 """
 
 from __future__ import annotations
@@ -71,87 +73,125 @@ def _kernel(t: np.ndarray, fc: float, semilen: int, beta: float) -> np.ndarray:
     return np.where(np.abs(t) <= semilen, g * w, 0.0)
 
 
-def halfband_taps(atten_db: float = C.RESAMPLER_ATTENUATION_DB,
-                  transition: float = 0.08) -> np.ndarray:
-    """Odd-length halfband lowpass (fc = 0.25), even offsets exactly zero."""
-    n = int(np.ceil((atten_db - 7.95) / (14.26 * transition)))
-    # halfband structure wants (n-1)/2 odd so zero taps land symmetrically
-    n |= 1
-    if ((n - 1) // 2) % 2 == 0:
-        n += 2
-    beta = _kaiser_beta(atten_db)
-    t = np.arange(n, dtype=np.float64) - (n - 1) / 2
-    h = 0.5 * np.sinc(0.5 * t) * np.kaiser(n, beta)
-    c = (n - 1) // 2
-    mask = (np.abs(t) % 2 == 0) & (t != 0)
-    h[mask] = 0.0
-    h[c] = 0.5
-    return (h / h.sum()).astype(np.float64)  # unity DC gain
+# ------------------------------ staging ---------------------------------------
+
+def _prime_factors(n: int) -> list[int]:
+    """Prime factors with multiplicity, descending."""
+    out, d = [], 2
+    while d * d <= n:
+        while n % d == 0:
+            out.append(d)
+            n //= d
+        d += 1
+    if n > 1:
+        out.append(n)
+    return sorted(out, reverse=True)
+
+
+def decompose_stages(p: int, q: int,
+                     max_factor: int = C.RESAMP_STAGE_MAX) -> list[tuple[int, int]] | None:
+    """Split P/Q (coprime) into stage ratios (p_i, q_i), each <= max_factor,
+    whose product is exactly P/Q, or None if a prime factor is too large.
+
+    Greedy pairing: each stage takes as much numerator as fits, then as
+    much denominator as fits while the stage ratio stays >= ~1/2 (so each
+    stage's anti-alias kernel keeps the standard length); leftover
+    denominator primes become deep-decimation stages with scaled kernels.
+    Stages are sorted by descending ratio so intermediate rates never dip
+    below the final rate (no information loss mid-cascade).
+    """
+    pf, qf = _prime_factors(p), _prime_factors(q)
+    if (pf and pf[0] > max_factor) or (qf and qf[0] > max_factor):
+        return None
+    stages: list[tuple[int, int]] = []
+    while pf or qf:
+        pi = 1
+        while pf and pi * pf[0] <= max_factor:
+            pi *= pf.pop(0)
+        qi = 1
+        while qf and qi * qf[0] <= max_factor and pi / (qi * qf[0]) >= 0.45:
+            qi *= qf.pop(0)
+        if pi == 1 and qi == 1 and qf:
+            qi = qf.pop(0)                      # forced deep-decim stage
+        if pi == 1 and qi == 1:
+            break
+        stages.append((pi, qi))
+    stages.sort(key=lambda s: s[0] / s[1], reverse=True)
+    return stages
 
 
 # ------------------------------ stages ---------------------------------------
 
-def _conv_valid_real(x: jnp.ndarray, h: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
-    lhs = x[:, None, :]
-    rhs = h[::-1][None, None, :]
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(stride,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32)
-    return out[:, 0, :]
+class _MatmulStage:
+    """Rational p/q polyphase stage executed as one dense MXU matmul.
 
-
-def _conv_complex(ext: jnp.ndarray, h: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
-    xr, xi = jnp.real(ext), jnp.imag(ext)
-    hf = jnp.asarray(np.asarray(h, np.float32))
-    return (_conv_valid_real(xr, hf, stride)
-            + 1j * _conv_valid_real(xi, hf, stride)).astype(jnp.complex64)
-
-
-class _HalfbandDecim:
-    """y[m] = (h * x)[2m]; tail = K-1 input samples."""
-
-    def __init__(self, taps: np.ndarray):
-        self.taps = np.asarray(taps, np.float32)
-        self.k = len(taps)
-
-    def init(self, channels: int) -> jnp.ndarray:
-        return jnp.zeros((channels, self.k - 1), jnp.complex64)
-
-    def __call__(self, x, state):
-        ext = jnp.concatenate([state, x], axis=-1)
-        y = _conv_complex(ext, self.taps, stride=2)
-        return y, ext[:, -(self.k - 1):]
-
-
-class _HalfbandInterp:
-    """Polyphase zero-stuff interpolator.
-
-    With prototype length 2c+1 and c odd, the odd-phase sub-filter is a
-    single unit tap (the center), so: even outputs = conv(x, H[0::2])
-    (the wing taps, a half-sample interpolator) and odd outputs =
-    x delayed by (c-1)/2.  Prototype gain 2x (unity net after stuffing).
+    Windows of length L = g*q + K - 1 at stride g*q are built from two
+    reshaped slices of the (state ++ x) extension; out = win @ A where
+    A[L, g*p] densifies the exact per-phase Kaiser-sinc weights.  The
+    kernel semilength scales with q/p for deep-decimation stages so the
+    anti-alias transition band keeps the design attenuation.
     """
 
-    def __init__(self, taps: np.ndarray):
-        taps = np.asarray(taps, np.float64) * 2.0
-        n = len(taps)
-        c = (n - 1) // 2                           # odd by construction
-        self.h_even = taps[0::2].astype(np.float32)
-        self.k = len(self.h_even)                  # = c + 1
-        self.delay = (c - 1) // 2
+    def __init__(self, p: int, q: int, n_in: int, atten_db: float,
+                 semilength: int, group_cap: int = C.RESAMP_GROUP_CAP):
+        assert n_in % q == 0
+        nb_total = n_in // q
+        g = 1
+        cap = max(1, group_cap // max(p, q))
+        for d in range(cap, 0, -1):
+            if nb_total % d == 0:
+                g = d
+                break
+        m = max(semilength, int(np.ceil(semilength * q / (2.0 * p))))
+        plan = _make_arb_plan(p, q, g * q, atten_db, m)
+        k_taps = plan.weights.shape[1]
+        L = g * q + plan.history
+        G = g * p
+        a = np.zeros((L, G), np.float32)
+        for i in range(G):
+            a[plan.starts[i]:plan.starts[i] + k_taps, i] = plan.weights[i]
+        self.p, self.q, self.g = p, q, g
+        self.stride = g * q
+        self.hist = plan.history
+        self.n_out_per_group = G
+        self._a = a
 
     def init(self, channels: int) -> jnp.ndarray:
-        return jnp.zeros((channels, self.k - 1), jnp.complex64)
+        return jnp.zeros((channels, self.hist), jnp.complex64)
 
     def __call__(self, x, state):
-        ext = jnp.concatenate([state, x], axis=-1)       # (C, N + k - 1)
+        ch = x.shape[0]
         n = x.shape[-1]
-        ev = _conv_complex(ext, self.h_even)             # (C, N)
-        s = self.k - 1 - self.delay
-        od = ext[:, s:s + n]
-        y = jnp.stack([ev, od], axis=-1).reshape(x.shape[0], 2 * n)
-        return y.astype(jnp.complex64), ext[:, -(self.k - 1):]
+        nb = n // self.stride
+        ext = jnp.concatenate([state, x], axis=-1)       # (C, hist + n)
+        # win[b] = ext[b*S : b*S + S + hist], built from ceil(hist/S)+1
+        # strided views (each view j contributes columns [j*S, (j+1)*S) of
+        # the window; views are padded past the end, the pad lands beyond
+        # the window length and is dropped)
+        s = self.stride
+        parts = []
+        remaining = s + self.hist
+        j = 0
+        while remaining > 0:
+            src = ext[:, j * s:j * s + nb * s]
+            pad = nb * s - src.shape[-1]
+            if pad > 0:
+                src = jnp.pad(src, ((0, 0), (0, pad)))
+            take = min(s, remaining)
+            parts.append(src.reshape(ch, nb, s)[:, :, :take])
+            remaining -= take
+            j += 1
+        win = jnp.concatenate(parts, axis=-1)            # (C, nb, S + hist)
+        a = jnp.asarray(self._a)
+        dn = (((2,), (0,)), ((), ()))
+        yr = jax.lax.dot_general(jnp.real(win), a, dn,
+                                 precision=jax.lax.Precision.HIGH,
+                                 preferred_element_type=jnp.float32)
+        yi = jax.lax.dot_general(jnp.imag(win), a, dn,
+                                 precision=jax.lax.Precision.HIGH,
+                                 preferred_element_type=jnp.float32)
+        y = jax.lax.complex(yr, yi).reshape(ch, nb * self.n_out_per_group)
+        return y.astype(jnp.complex64), ext[:, -self.hist:]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -219,9 +259,8 @@ class ResamplePlan:
     q: int
     n_in: int
     n_out: int
-    s_decim: int
-    s_interp: int
-    arb: ArbPlan | None          # None for exact passthrough / pow2-only
+    stages: tuple[tuple[int, int], ...]   # per-stage (p_i, q_i); () = passthrough
+    fallback: bool = False                # True -> single gather-based arb stage
 
     @property
     def ratio(self) -> float:
@@ -241,47 +280,40 @@ class Resampler:
                  max_denom: int = C.RESAMP_MAX_DENOM,
                  max_out: int = 1 << 21):
         p, q = rationalize(ratio, max_denom)
-        r = p / q
-        s_d = 0
-        while r <= 0.5:
-            r *= 2.0
-            s_d += 1
-        s_u = 0
-        while r >= 2.0:
-            r /= 2.0
-            s_u += 1
+        ratios = decompose_stages(p, q)
 
-        # arbitrary-stage rational ratio (exact arithmetic)
-        fr = Fraction(p * 2 ** s_d, q * 2 ** s_u)
-        pa, qa = fr.numerator, fr.denominator
-
-        # n_in must be divisible by 2^s_d, and n_in / 2^s_d by qa
-        unit = (2 ** s_d) * qa
+        unit = q
         blocks = max(1, round(target_block / unit))
         n_in = blocks * unit
-        n_mid = n_in >> s_d
-        n_arb = n_mid * pa // qa
-        n_out = n_arb << s_u
+        n_out = n_in * p // q
         while n_out > max_out and blocks > 1:
             blocks -= 1
             n_in = blocks * unit
-            n_mid = n_in >> s_d
-            n_arb = n_mid * pa // qa
-            n_out = n_arb << s_u
+            n_out = n_in * p // q
         if n_out > max_out:
             raise ValueError(
                 f"ratio {p}/{q}: block would need {n_out} outputs (> {max_out})")
 
-        hb = halfband_taps(atten_db)
-        self.stages: list = [_HalfbandDecim(hb) for _ in range(s_d)]
-        arb_plan = None
-        if not (pa == 1 and qa == 1):
-            arb_plan = _make_arb_plan(pa, qa, n_mid, atten_db, semilength)
-            self.stages.append(_ArbStage(arb_plan))
-        self.stages.extend(_HalfbandInterp(hb) for _ in range(s_u))
+        self.stages: list = []
+        fallback = ratios is None
+        if fallback and p != q:
+            # rationalization hit a large prime: single exact gather stage
+            self.stages.append(
+                _ArbStage(_make_arb_plan(p, q, n_in, atten_db, semilength)))
+            ratios = [(p, q)]
+        elif p != q:
+            n_s = n_in
+            for pi, qi in ratios:
+                self.stages.append(
+                    _MatmulStage(pi, qi, n_s, atten_db, semilength))
+                n_s = n_s * pi // qi
+            assert n_s == n_out, (n_s, n_out)
+        else:
+            ratios = []
 
         self.plan = ResamplePlan(p=p, q=q, n_in=n_in, n_out=n_out,
-                                 s_decim=s_d, s_interp=s_u, arb=arb_plan)
+                                 stages=tuple(ratios or ()),
+                                 fallback=fallback and p != q)
 
     def init(self, channels: int) -> tuple:
         return tuple(s.init(channels) for s in self.stages)

@@ -44,7 +44,12 @@ def test_rationalize():
 def test_nrsc5_ratio_framing():
     r = resample.Resampler(1_488_375.0 / 2_048_000.0, target_block=16384)
     assert r.plan.n_in == 16384 and r.plan.n_out == 11907
-    assert r.plan.s_decim == 0 and r.plan.s_interp == 0
+    assert not r.plan.fallback
+    # exact factor cascade: product of stage ratios == 11907/16384
+    import math
+    num = math.prod(p for p, _ in r.plan.stages)
+    den = math.prod(q for _, q in r.plan.stages)
+    assert (num, den) == (11907, 16384)
 
 
 @pytest.mark.parametrize("ratio,f_in", [
@@ -62,13 +67,29 @@ def test_tone_snr(ratio, f_in):
     assert abs(gain - 1.0) < 0.05, (ratio, f_in, gain)
 
 
-@pytest.mark.parametrize("ratio,sd,su", [(0.5, 1, 0), (0.25, 2, 0),
-                                         (2.0, 0, 1), (4.0, 0, 2), (1.0, 0, 0)])
-def test_pow2_staging(ratio, sd, su):
+@pytest.mark.parametrize("ratio", [0.5, 0.25, 2.0, 4.0, 1.0])
+def test_pow2_staging(ratio):
     r = resample.Resampler(ratio, target_block=4096)
-    assert r.plan.s_decim == sd and r.plan.s_interp == su
-    assert r.plan.arb is None
+    assert not r.plan.fallback
     assert r.plan.n_out == int(r.plan.n_in * ratio)
+    if ratio == 1.0:
+        assert r.plan.stages == () and r.stages == []
+
+
+def test_stage_decomposition():
+    assert resample.decompose_stages(1, 1) == []
+    # every stage factor bounded, product exact
+    for p, q in [(11907, 16384), (1, 50), (160, 147), (31, 50), (3, 1)]:
+        stages = resample.decompose_stages(p, q)
+        import math
+        assert math.prod(a for a, _ in stages) == p
+        assert math.prod(b for _, b in stages) == q
+        assert all(max(a, b) <= 512 for a, b in stages)
+        # descending ratios: intermediate rates never dip below the final
+        rs = [a / b for a, b in stages]
+        assert rs == sorted(rs, reverse=True)
+    # a large prime factor cannot be staged -> fallback signalled
+    assert resample.decompose_stages(1, 10007) is None
 
 
 def test_pow2_tone():
