@@ -69,3 +69,4 @@ BACKPRESSURE_HIGH_WATER = 0.95      # constants.h:98
 
 # ---- SDR defaults ------------------------------------------------------------
 RTLSDR_DEFAULT_RATE = 2_400_000     # constants.h:200
+BANDED_STRIDE_CAP = 256             # FIR toeplitz-matmul output group width

@@ -12,8 +12,9 @@ TPU design: both paths are stateless block maps plus a carried input tail
 (the whole overlap discipline lives in the carry, so time-sharded meshes
 can halo-exchange the tail, SURVEY.md section 5):
 
-* direct: complex conv decomposed into 4 real ``lax.conv_general_dilated``
-  ops (MXU-lowered), best for short taps;
+* direct: banded Toeplitz matmul over strided windows (ops/banded.py) —
+  the same MXU primitive as the polyphase resampler; complex taps cost 4
+  real matmuls instead of 2;
 * overlap-save: ALL chunks of a block are FFT'd in one batched matmul-FFT
   call (ops/fft.py) — windows are built by reshaping the tail-extended
   block into (n_chunks, 2*block) overlapped segments, so there is no
@@ -30,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from iq_tool_tpu import constants as C
+from iq_tool_tpu.ops import banded
 from iq_tool_tpu.ops import fft as tfft
 from iq_tool_tpu.ops.fir_design import choose_fft_block
 
@@ -50,29 +53,16 @@ def reset(state: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros_like(state)
 
 
-def _conv_valid_real(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
-    """Valid-mode correlation-style FIR: y[n] = sum_k h[k] x[n + K-1 - k].
-
-    x: (C, L) f32, h: (K,) f32 -> (C, L-K+1) f32.
-    """
-    lhs = x[:, None, :]                       # (N=C, C_in=1, W)
-    rhs = h[::-1][None, None, :]              # (O=1, I=1, W) flipped -> convolution
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32)
-    return out[:, 0, :]
-
-
-def _fir_direct(ext: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
-    """Causal FIR over the tail-extended block, complex via 4 real convs."""
-    xr, xi = jnp.real(ext), jnp.imag(ext)
-    hr, hi = jnp.real(taps), jnp.imag(taps)
-    rr = _conv_valid_real(xr, hr)
-    ii = _conv_valid_real(xi, hi)
-    ri = _conv_valid_real(xr, hi)
-    ir = _conv_valid_real(xi, hr)
-    return ((rr - ii) + 1j * (ri + ir)).astype(jnp.complex64)
+def _toeplitz(taps: np.ndarray, stride: int) -> np.ndarray:
+    """Banded Toeplitz T[L, S] (L = S + K - 1) with column i = reversed
+    taps at rows [i, i+K): (win @ T)[b, i] = sum_k h[k] ext[b*S + i + K-1 - k],
+    i.e. causal convolution anchored after the K-1 tail history."""
+    k = len(taps)
+    t = np.zeros((stride + k - 1, stride), taps.dtype)
+    rev = taps[::-1]
+    for i in range(stride):
+        t[i:i + k, i] = rev
+    return t
 
 
 @functools.lru_cache(maxsize=None)
@@ -96,11 +86,12 @@ class StreamingFilter:
                  user_fft_size: int | None = None):
         taps = np.asarray(taps, np.complex64)
         if method == "auto":
-            # reference: complex -> FFT, symmetric -> FIR (filter.c:301-312).
-            # On TPU direct conv wins only for short taps; keep the
-            # reference's choice for complex taps and use cost for real ones.
-            is_complex = bool(np.any(np.abs(taps.imag) > 0))
-            method = "fft" if (is_complex or len(taps) > 96) else "fir"
+            # The reference picks FFT for complex taps because liquid's
+            # time-domain firfilt_cccf is slow (filter.c:301-312); here both
+            # tap kinds run as banded MXU matmuls whose cost grows with the
+            # band width, so the crossover vs overlap-save is simply the tap
+            # count (measured on v5e: matmul wins through ~1k taps).
+            method = "fir" if len(taps) <= 1024 else "fft"
         self.method = method
         self.taps = taps
         self.num_taps = len(taps)
@@ -110,6 +101,16 @@ class StreamingFilter:
             self._h = _freq_taps(tuple(taps.tolist()), self.nfft)
         else:
             self._h = taps
+            self._toeplitz_cache: dict[int, tuple] = {}
+
+    def _toeplitz_for(self, stride: int) -> tuple[np.ndarray, np.ndarray | None]:
+        if stride not in self._toeplitz_cache:
+            tr = _toeplitz(np.real(self.taps).astype(np.float32), stride)
+            ti = None
+            if np.any(np.abs(self.taps.imag) > 0):
+                ti = _toeplitz(np.imag(self.taps).astype(np.float32), stride)
+            self._toeplitz_cache[stride] = (tr, ti)
+        return self._toeplitz_cache[stride]
 
     def init(self, channels: int) -> jnp.ndarray:
         return jnp.zeros((channels, self.block), jnp.complex64)
@@ -123,10 +124,14 @@ class StreamingFilter:
         c, n = x.shape
         if self.method == "fir":
             k = self.num_taps
+            if k == 1:
+                return (x * self._h[0]).astype(jnp.complex64), state
             ext = jnp.concatenate([state, x], axis=-1)
-            y = _fir_direct(ext, self._h)
-            new_state = ext[:, -(k - 1):] if k > 1 else state
-            return y, new_state
+            stride = banded.largest_divisor_leq(n, C.BANDED_STRIDE_CAP)
+            tr, ti = self._toeplitz_for(stride)
+            win = banded.build_windows(ext, stride, k - 1)
+            y = banded.window_matmul(win, tr, ti)
+            return y, ext[:, -(k - 1):]
 
         b = self.block
         if n < b:

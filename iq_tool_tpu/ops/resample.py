@@ -43,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from iq_tool_tpu import constants as C
+from iq_tool_tpu.ops import banded
 
 
 def rationalize(ratio: float, max_denom: int = C.RESAMP_MAX_DENOM) -> tuple[int, int]:
@@ -160,38 +161,10 @@ class _MatmulStage:
         return jnp.zeros((channels, self.hist), jnp.complex64)
 
     def __call__(self, x, state):
-        ch = x.shape[0]
-        n = x.shape[-1]
-        nb = n // self.stride
         ext = jnp.concatenate([state, x], axis=-1)       # (C, hist + n)
-        # win[b] = ext[b*S : b*S + S + hist], built from ceil(hist/S)+1
-        # strided views (each view j contributes columns [j*S, (j+1)*S) of
-        # the window; views are padded past the end, the pad lands beyond
-        # the window length and is dropped)
-        s = self.stride
-        parts = []
-        remaining = s + self.hist
-        j = 0
-        while remaining > 0:
-            src = ext[:, j * s:j * s + nb * s]
-            pad = nb * s - src.shape[-1]
-            if pad > 0:
-                src = jnp.pad(src, ((0, 0), (0, pad)))
-            take = min(s, remaining)
-            parts.append(src.reshape(ch, nb, s)[:, :, :take])
-            remaining -= take
-            j += 1
-        win = jnp.concatenate(parts, axis=-1)            # (C, nb, S + hist)
-        a = jnp.asarray(self._a)
-        dn = (((2,), (0,)), ((), ()))
-        yr = jax.lax.dot_general(jnp.real(win), a, dn,
-                                 precision=jax.lax.Precision.HIGH,
-                                 preferred_element_type=jnp.float32)
-        yi = jax.lax.dot_general(jnp.imag(win), a, dn,
-                                 precision=jax.lax.Precision.HIGH,
-                                 preferred_element_type=jnp.float32)
-        y = jax.lax.complex(yr, yi).reshape(ch, nb * self.n_out_per_group)
-        return y.astype(jnp.complex64), ext[:, -self.hist:]
+        win = banded.build_windows(ext, self.stride, self.hist)
+        y = banded.window_matmul(win, self._a)
+        return y, ext[:, -self.hist:]
 
 
 @dataclasses.dataclass(frozen=True)
