@@ -5,10 +5,19 @@ with a = 2*pi*DC_BLOCK_CUTOFF_HZ / Fs at the *input* rate; applied
 in-place per block; reset on stream discontinuity.
 
 TPU design: the recurrence y[n] = (1-a)*y[n-1] + (x[n] - x[n-1]) is a
-first-order *linear* recurrence, so instead of a per-sample loop we run a
-log-depth ``jax.lax.associative_scan`` over the block (the classic
-linear-recurrence composition (A, B) -> (A2*A1, B2 + A2*B1)).  Carry is
-(x_prev, y_prev) per channel.
+first-order *linear* recurrence with a CONSTANT coefficient, so it has
+the closed form y[n] = sum_{j<=n} (1-a)^(n-j) b[j].  Instead of a
+log-depth elementwise scan over the whole block (log2(N) full passes of
+HBM traffic), it runs as a two-level scan:
+
+  1. tiles of T samples compute their local prefix via ONE triangular
+     matmul b_tile @ M^T with M[i,j] = (1-a)^(i-j) — MXU work, one pass;
+  2. a tiny associative scan over the nb = N/T per-tile totals
+     propagates the cross-tile carry ((C, nb) elements, negligible);
+  3. y = y_local + (1-a)^(i+1) * carry_prev broadcast fixes every tile.
+
+Carry is (x_prev, y_prev) per channel.  Falls back to the flat
+associative scan when N has no usable tile divisor.
 """
 
 from __future__ import annotations
@@ -41,20 +50,66 @@ def reset(state: DcState) -> DcState:
     return DcState(jnp.zeros_like(state.x_prev), jnp.zeros_like(state.y_prev))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _tri_matrix(a: float, t: int) -> np.ndarray:
+    """M[i, j] = a^(i-j) for j <= i else 0; y_local = b @ M^T."""
+    i = np.arange(t)
+    e = i[:, None] - i[None, :]
+    return np.where(e >= 0, np.float64(a) ** np.maximum(e, 0), 0.0).astype(np.float32)
+
+
+def _tile_size(n: int, cap: int = 256, floor: int = 32) -> int:
+    for d in range(min(cap, n), floor - 1, -1):
+        if n % d == 0:
+            return d
+    return 0
+
+
 def apply(x: jnp.ndarray, state: DcState, alpha: float) -> tuple[jnp.ndarray, DcState]:
     """x: (C, N) complex64 -> (y, new_state)."""
-    a = jnp.complex64(1.0 - alpha)
+    a = float(1.0 - alpha)
+    ac = jnp.complex64(a)
     # b[n] = x[n] - x[n-1], with x[-1] from the carry
     xm1 = jnp.concatenate([state.x_prev[:, None], x[:, :-1]], axis=-1)
     b = x - xm1
     # fold the carried y[-1] into the first element: y[0] = a*y[-1] + b[0]
-    b = b.at[:, 0].add(a * state.y_prev)
+    b = b.at[:, 0].add(ac * state.y_prev)
 
     def combine(lhs, rhs):
         a1, b1 = lhs
         a2, b2 = rhs
         return a1 * a2, b2 + a2 * b1
 
-    coeffs = jnp.full_like(b, a)
-    _, y = jax.lax.associative_scan(combine, (coeffs, b), axis=-1)
+    c, n = x.shape
+    t = _tile_size(n)
+    if t == 0 or n <= t:
+        coeffs = jnp.full_like(b, ac)
+        _, y = jax.lax.associative_scan(combine, (coeffs, b), axis=-1)
+        return y.astype(jnp.complex64), DcState(x[:, -1], y[:, -1])
+
+    nb = n // t
+    bt = b.reshape(c, nb, t)
+    m = jnp.asarray(_tri_matrix(a, t))
+    dn = (((2,), (1,)), ((), ()))                   # contract tile dim with M cols
+    yr = jax.lax.dot_general(jnp.real(bt), m, dn,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+    yi = jax.lax.dot_general(jnp.imag(bt), m, dn,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+    y_local = jax.lax.complex(yr, yi)               # (C, nb, T) local prefixes
+    # cross-tile carry: Y[b] = y_local[b, -1] + a^T * Y[b-1]
+    a_t = jnp.complex64(a ** t)
+    ends = y_local[:, :, -1]                        # (C, nb)
+    coeffs = jnp.full_like(ends, a_t)
+    _, carry = jax.lax.associative_scan(combine, (coeffs, ends), axis=-1)
+    prev = jnp.concatenate([jnp.zeros((c, 1), jnp.complex64),
+                            carry[:, :-1]], axis=-1)  # carry entering each tile
+    decay = jnp.asarray((np.float64(a) ** np.arange(1, t + 1))
+                        .astype(np.float32))
+    y = y_local + prev[:, :, None] * decay[None, None, :]
+    y = y.reshape(c, n)
     return y.astype(jnp.complex64), DcState(x[:, -1], y[:, -1])
