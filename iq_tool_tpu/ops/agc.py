@@ -106,18 +106,23 @@ def rms_params(cfg: AgcConfig, n: int) -> tuple[int, int, float]:
     return n_seg, seg, beta
 
 
-def _apply_rms(x: jnp.ndarray, state: AgcState, cfg: AgcConfig):
-    c, n = x.shape
+def _apply_rms_planar(xr: jnp.ndarray, xi: jnp.ndarray, state: AgcState,
+                      cfg: AgcConfig):
+    c, n = xr.shape
     n_seg, seg, beta = rms_params(cfg, n)
-    xs = x[:, : n_seg * seg].reshape(c, n_seg, seg)
-    e_in = jnp.mean(jnp.abs(xs) ** 2, axis=-1).T  # (n_seg, C)
+    xsr = xr[:, : n_seg * seg].reshape(c, n_seg, seg)
+    xsi = xi[:, : n_seg * seg].reshape(c, n_seg, seg)
+    e_in = jnp.mean(xsr * xsr + xsi * xsi, axis=-1).T  # (n_seg, C)
     gains, g_fin, e2_fin = rms_scan(e_in, state.gain, state.e2, beta, cfg.target)
-    y = (xs * gains.T[:, :, None]).reshape(c, n_seg * seg)
+    gseg = gains.T[:, :, None]
+    yr = (xsr * gseg).reshape(c, n_seg * seg)
+    yi = (xsi * gseg).reshape(c, n_seg * seg)
     if n_seg * seg < n:  # ragged tail (only for tiny blocks)
-        y = jnp.concatenate([y, x[:, n_seg * seg:] * g_fin[:, None]], axis=-1)
+        yr = jnp.concatenate([yr, xr[:, n_seg * seg:] * g_fin[:, None]], axis=-1)
+        yi = jnp.concatenate([yi, xi[:, n_seg * seg:] * g_fin[:, None]], axis=-1)
     new_state = state._replace(gain=g_fin, e2=e2_fin,
                                samples_seen=state.samples_seen + jnp.uint32(n))
-    return y.astype(jnp.complex64), new_state
+    return yr, yi, new_state
 
 
 def digital_update(state: AgcState, block_peak: jnp.ndarray, n: int,
@@ -163,16 +168,24 @@ def digital_update(state: AgcState, block_peak: jnp.ndarray, n: int,
     return gain_out, new_state
 
 
-def _apply_digital(x: jnp.ndarray, state: AgcState, cfg: AgcConfig):
-    n = x.shape[-1]
-    block_peak = jnp.max(jnp.abs(x), axis=-1)          # (C,)
+def _apply_digital_planar(xr: jnp.ndarray, xi: jnp.ndarray, state: AgcState,
+                          cfg: AgcConfig):
+    n = xr.shape[-1]
+    block_peak = jnp.sqrt(jnp.max(xr * xr + xi * xi, axis=-1))   # (C,)
     gain_out, new_state = digital_update(state, block_peak, n, cfg)
-    y = x * gain_out[:, None]
-    return y.astype(jnp.complex64), new_state
+    g = gain_out[:, None]
+    return xr * g, xi * g, new_state
+
+
+def apply_planar(xr: jnp.ndarray, xi: jnp.ndarray, state: AgcState,
+                 cfg: AgcConfig):
+    """Planar f32 planes (C, N) -> (yr, yi, new state)."""
+    if cfg.profile == "digital":
+        return _apply_digital_planar(xr, xi, state, cfg)
+    return _apply_rms_planar(xr, xi, state, cfg)
 
 
 def apply(x: jnp.ndarray, state: AgcState, cfg: AgcConfig):
     """x: (C, N) complex64 -> (y, new state)."""
-    if cfg.profile == "digital":
-        return _apply_digital(x, state, cfg)
-    return _apply_rms(x, state, cfg)
+    yr, yi, ns = apply_planar(jnp.real(x), jnp.imag(x), state, cfg)
+    return jax.lax.complex(yr, yi).astype(jnp.complex64), ns

@@ -56,29 +56,36 @@ def build_windows(ext: jnp.ndarray, stride: int, hist: int) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=-1)
 
 
-def window_matmul(win: jnp.ndarray, a_r: np.ndarray,
-                  a_i: np.ndarray | None = None) -> jnp.ndarray:
-    """(C, nb, L) complex windows @ (L, G) banded matrix -> (C, nb*G)
-    complex64.  Real A needs 2 real matmuls; complex A needs 4.
+def window_matmul_planar(win_r: jnp.ndarray, win_i: jnp.ndarray,
+                         a_r: np.ndarray, a_i: np.ndarray | None = None):
+    """Planar (C, nb, L) f32 windows @ (L, G) banded matrix -> two
+    (C, nb*G) f32 planes.  Real A needs 2 real matmuls; complex A needs 4.
     """
-    ch, nb, _ = win.shape
+    ch, nb, _ = win_r.shape
     g = a_r.shape[1]
     dn = (((2,), (0,)), ((), ()))
     ar = jnp.asarray(a_r)
-    wr, wi = jnp.real(win), jnp.imag(win)
 
     def dot(lhs, rhs):
         return jax.lax.dot_general(lhs, rhs, dn,
                                    precision=jax.lax.Precision.HIGH,
                                    preferred_element_type=jnp.float32)
 
-    yr = dot(wr, ar)
-    yi = dot(wi, ar)
+    yr = dot(win_r, ar)
+    yi = dot(win_i, ar)
     if a_i is not None and np.any(a_i):
         ai = jnp.asarray(a_i)
-        yr = yr - dot(wi, ai)
-        yi = yi + dot(wr, ai)
-    return jax.lax.complex(yr, yi).reshape(ch, nb * g).astype(jnp.complex64)
+        yr = yr - dot(win_i, ai)
+        yi = yi + dot(win_r, ai)
+    return yr.reshape(ch, nb * g), yi.reshape(ch, nb * g)
+
+
+def window_matmul(win: jnp.ndarray, a_r: np.ndarray,
+                  a_i: np.ndarray | None = None) -> jnp.ndarray:
+    """(C, nb, L) complex windows @ (L, G) banded matrix -> (C, nb*G)
+    complex64 (planar variant above is the primary path)."""
+    yr, yi = window_matmul_planar(jnp.real(win), jnp.imag(win), a_r, a_i)
+    return jax.lax.complex(yr, yi).astype(jnp.complex64)
 
 
 def largest_divisor_leq(n: int, cap: int) -> int:
@@ -87,3 +94,44 @@ def largest_divisor_leq(n: int, cap: int) -> int:
         if n % d == 0:
             return d
     return 1
+
+
+# ------------------------------ dispatcher ------------------------------------
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def new_tail(state: jnp.ndarray, x: jnp.ndarray, hist: int) -> jnp.ndarray:
+    """The carry for the next block: last `hist` samples of state ++ x."""
+    if x.shape[-1] >= hist:
+        return x[:, x.shape[-1] - hist:]
+    return jnp.concatenate([state, x], axis=-1)[:, -hist:]
+
+
+def apply_planar(state_r: jnp.ndarray, state_i: jnp.ndarray,
+                 xr: jnp.ndarray, xi: jnp.ndarray,
+                 a_r: np.ndarray, a_i: np.ndarray | None,
+                 stride: int, hist: int):
+    """Banded map over a block with carried tap history: dispatches to
+    the fused Pallas kernel on TPU (no windows materialization, no
+    state-concat copy) and to the build_windows + matmul XLA path
+    elsewhere.
+
+    state_*: (C, hist); x*: (C, n); returns (yr, yi): (C, (n//stride)*G).
+    """
+    if _on_tpu() and hist > 0:
+        from iq_tool_tpu.ops import pallas_kernels
+        ch, n = xr.shape
+        nb = n // stride
+        if pallas_kernels.plan(stride, hist, a_r.shape[1], nb, ch) is not None:
+            return pallas_kernels.banded_apply(state_r, state_i, xr, xi,
+                                               a_r, a_i, stride, hist)
+    ext_r = jnp.concatenate([state_r, xr], axis=-1)
+    ext_i = jnp.concatenate([state_i, xi], axis=-1)
+    win_r = build_windows(ext_r, stride, hist)
+    win_i = build_windows(ext_i, stride, hist)
+    return window_matmul_planar(win_r, win_i, a_r, a_i)

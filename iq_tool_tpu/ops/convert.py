@@ -23,6 +23,7 @@ the 60 dB chain SNR budget).  All 8/16/24-bit formats are bit-exact.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,11 +48,14 @@ def wire_items_per_frame(fmt: SampleFormat | str) -> int:
     return fmt.items_per_frame
 
 
-def to_cf32(raw: jnp.ndarray, fmt: SampleFormat | str, gain: float = 1.0):
-    """Convert a wire-format block to complex64.
+def to_planar(raw: jnp.ndarray, fmt: SampleFormat | str, gain: float = 1.0):
+    """Convert a wire-format block to planar float32 (xr, xi).
 
     ``raw``: (..., N*items_per_frame) array of ``wire_dtype(fmt)``
-    (uint8 bytes for cs24).  Returns (..., N) complex64.
+    (uint8 bytes for cs24).  Returns two (..., N) float32 planes.
+    The planar pair is the chain's internal representation: complex64
+    ops decompose into plane arithmetic under XLA anyway, and Pallas
+    kernels have no complex dtype at all.
     """
     fmt = get_format(fmt) if isinstance(fmt, str) else fmt
     _require_complex(fmt)
@@ -59,7 +63,8 @@ def to_cf32(raw: jnp.ndarray, fmt: SampleFormat | str, gain: float = 1.0):
 
     if fmt.name == "cf32":
         pairs = raw.reshape(*raw.shape[:-1], n, 2).astype(jnp.float32)
-        return (pairs[..., 0] + 1j * pairs[..., 1]).astype(jnp.complex64) * gain
+        g = jnp.float32(gain)
+        return pairs[..., 0] * g, pairs[..., 1] * g
 
     if fmt.name == "cs24":
         b = raw.reshape(*raw.shape[:-1], n, 6).astype(jnp.int32)
@@ -67,15 +72,20 @@ def to_cf32(raw: jnp.ndarray, fmt: SampleFormat | str, gain: float = 1.0):
         i_val = ((b[..., 0] << 8) | (b[..., 1] << 16) | (b[..., 2] << 24)) >> 8
         q_val = ((b[..., 3] << 8) | (b[..., 4] << 16) | (b[..., 5] << 24)) >> 8
         scale = jnp.float32(fmt.normalizer * gain)
-        return (i_val.astype(jnp.float32) * scale
-                + 1j * (q_val.astype(jnp.float32) * scale)).astype(jnp.complex64)
+        return i_val.astype(jnp.float32) * scale, q_val.astype(jnp.float32) * scale
 
     pairs = raw.reshape(*raw.shape[:-1], n, 2).astype(jnp.float32)
     if not fmt.signed:
         pairs = pairs - jnp.float32(fmt.offset)
     # Match the C operation order: (x * normalizer) * gain, both f32.
     pairs = (pairs * jnp.float32(fmt.normalizer)) * jnp.float32(gain)
-    return (pairs[..., 0] + 1j * pairs[..., 1]).astype(jnp.complex64)
+    return pairs[..., 0], pairs[..., 1]
+
+
+def to_cf32(raw: jnp.ndarray, fmt: SampleFormat | str, gain: float = 1.0):
+    """Convert a wire-format block to complex64 (see to_planar)."""
+    xr, xi = to_planar(raw, fmt, gain)
+    return jax.lax.complex(xr, xi).astype(jnp.complex64)
 
 
 def _round_half_away(x: jnp.ndarray) -> jnp.ndarray:
@@ -99,14 +109,21 @@ def _safe_f32_bound(value: float, upper: bool) -> np.float32:
 
 def from_cf32(x: jnp.ndarray, fmt: SampleFormat | str) -> jnp.ndarray:
     """Quantize complex64 (..., N) to the wire format, (..., N*items)."""
+    return from_planar(jnp.real(x), jnp.imag(x), fmt)
+
+
+def from_planar(xr: jnp.ndarray, xi: jnp.ndarray,
+                fmt: SampleFormat | str) -> jnp.ndarray:
+    """Quantize planar float32 (..., N) planes to the wire format."""
     fmt = get_format(fmt) if isinstance(fmt, str) else fmt
     _require_complex(fmt)
+    x = xr  # for shape bookkeeping below
 
     if fmt.name == "cf32":
-        out = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1).astype(jnp.float32)
+        out = jnp.stack([xr, xi], axis=-1).astype(jnp.float32)
         return out.reshape(*x.shape[:-1], -1)
 
-    pairs = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1).astype(jnp.float32)
+    pairs = jnp.stack([xr, xi], axis=-1).astype(jnp.float32)
 
     if fmt.signed:
         v = pairs * jnp.float32(fmt.scale)

@@ -68,48 +68,72 @@ def _tile_size(n: int, cap: int = 256, floor: int = 32) -> int:
     return 0
 
 
-def apply(x: jnp.ndarray, state: DcState, alpha: float) -> tuple[jnp.ndarray, DcState]:
-    """x: (C, N) complex64 -> (y, new_state)."""
+def _combine(lhs, rhs):
+    a1, b1 = lhs
+    a2, b2 = rhs
+    return a1 * a2, b2 + a2 * b1
+
+
+def _apply_plane(x: jnp.ndarray, x_prev: jnp.ndarray, y_prev: jnp.ndarray,
+                 alpha: float):
+    """One real plane: x (C, N) f32, carries (C,) f32 -> (y, x_last, y_last)."""
     a = float(1.0 - alpha)
-    ac = jnp.complex64(a)
-    # b[n] = x[n] - x[n-1], with x[-1] from the carry
-    xm1 = jnp.concatenate([state.x_prev[:, None], x[:, :-1]], axis=-1)
+    xm1 = jnp.concatenate([x_prev[:, None], x[:, :-1]], axis=-1)
     b = x - xm1
     # fold the carried y[-1] into the first element: y[0] = a*y[-1] + b[0]
-    b = b.at[:, 0].add(ac * state.y_prev)
-
-    def combine(lhs, rhs):
-        a1, b1 = lhs
-        a2, b2 = rhs
-        return a1 * a2, b2 + a2 * b1
+    b = b.at[:, 0].add(jnp.float32(a) * y_prev)
 
     c, n = x.shape
     t = _tile_size(n)
     if t == 0 or n <= t:
-        coeffs = jnp.full_like(b, ac)
-        _, y = jax.lax.associative_scan(combine, (coeffs, b), axis=-1)
-        return y.astype(jnp.complex64), DcState(x[:, -1], y[:, -1])
+        coeffs = jnp.full_like(b, jnp.float32(a))
+        _, y = jax.lax.associative_scan(_combine, (coeffs, b), axis=-1)
+        return y, x[:, -1], y[:, -1]
 
     nb = n // t
     bt = b.reshape(c, nb, t)
     m = jnp.asarray(_tri_matrix(a, t))
     dn = (((2,), (1,)), ((), ()))                   # contract tile dim with M cols
-    yr = jax.lax.dot_general(jnp.real(bt), m, dn,
-                             precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32)
-    yi = jax.lax.dot_general(jnp.imag(bt), m, dn,
-                             precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32)
-    y_local = jax.lax.complex(yr, yi)               # (C, nb, T) local prefixes
+    y_local = jax.lax.dot_general(bt, m, dn,
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  preferred_element_type=jnp.float32)
     # cross-tile carry: Y[b] = y_local[b, -1] + a^T * Y[b-1]
-    a_t = jnp.complex64(a ** t)
     ends = y_local[:, :, -1]                        # (C, nb)
-    coeffs = jnp.full_like(ends, a_t)
-    _, carry = jax.lax.associative_scan(combine, (coeffs, ends), axis=-1)
-    prev = jnp.concatenate([jnp.zeros((c, 1), jnp.complex64),
+    coeffs = jnp.full_like(ends, jnp.float32(a ** t))
+    _, carry = jax.lax.associative_scan(_combine, (coeffs, ends), axis=-1)
+    prev = jnp.concatenate([jnp.zeros((c, 1), jnp.float32),
                             carry[:, :-1]], axis=-1)  # carry entering each tile
     decay = jnp.asarray((np.float64(a) ** np.arange(1, t + 1))
                         .astype(np.float32))
-    y = y_local + prev[:, :, None] * decay[None, None, :]
-    y = y.reshape(c, n)
-    return y.astype(jnp.complex64), DcState(x[:, -1], y[:, -1])
+    y = (y_local + prev[:, :, None] * decay[None, None, :]).reshape(c, n)
+    return y, x[:, -1], y[:, -1]
+
+
+class PlanarDcState(NamedTuple):
+    xr_prev: jnp.ndarray  # (C,) f32
+    xi_prev: jnp.ndarray
+    yr_prev: jnp.ndarray
+    yi_prev: jnp.ndarray
+
+
+def init_planar(channels: int) -> PlanarDcState:
+    z = lambda: jnp.zeros((channels,), jnp.float32)
+    return PlanarDcState(z(), z(), z(), z())
+
+
+def apply_planar(xr: jnp.ndarray, xi: jnp.ndarray, state: PlanarDcState,
+                 alpha: float):
+    """Planar f32 planes (C, N) -> (yr, yi, new_state)."""
+    yr, xr_l, yr_l = _apply_plane(xr, state.xr_prev, state.yr_prev, alpha)
+    yi, xi_l, yi_l = _apply_plane(xi, state.xi_prev, state.yi_prev, alpha)
+    return yr, yi, PlanarDcState(xr_l, xi_l, yr_l, yi_l)
+
+
+def apply(x: jnp.ndarray, state: DcState, alpha: float) -> tuple[jnp.ndarray, DcState]:
+    """x: (C, N) complex64 -> (y, new_state)."""
+    ps = PlanarDcState(jnp.real(state.x_prev), jnp.imag(state.x_prev),
+                       jnp.real(state.y_prev), jnp.imag(state.y_prev))
+    yr, yi, ns = apply_planar(jnp.real(x), jnp.imag(x), ps, alpha)
+    y = jax.lax.complex(yr, yi).astype(jnp.complex64)
+    return y, DcState(jax.lax.complex(ns.xr_prev, ns.xi_prev),
+                      jax.lax.complex(ns.yr_prev, ns.yi_prev))

@@ -115,6 +115,33 @@ class StreamingFilter:
     def init(self, channels: int) -> jnp.ndarray:
         return jnp.zeros((channels, self.block), jnp.complex64)
 
+    def init_planar(self, channels: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+        z = lambda: jnp.zeros((channels, self.block), jnp.float32)
+        return z(), z()
+
+    def apply_planar(self, xr: jnp.ndarray, xi: jnp.ndarray,
+                     state_r: jnp.ndarray, state_i: jnp.ndarray):
+        """Planar f32 path: (xr, xi) (C, N) -> (yr, yi, new_r, new_i)."""
+        n = xr.shape[-1]
+        if self.method == "fir":
+            k = self.num_taps
+            if k == 1:
+                hr = float(np.real(self.taps[0]))
+                hi = float(np.imag(self.taps[0]))
+                return (xr * hr - xi * hi, xr * hi + xi * hr,
+                        state_r, state_i)
+            stride = banded.largest_divisor_leq(n, C.BANDED_STRIDE_CAP)
+            tr, ti = self._toeplitz_for(stride)
+            yr, yi = banded.apply_planar(state_r, state_i, xr, xi, tr, ti,
+                                         stride, k - 1)
+            return (yr, yi, banded.new_tail(state_r, xr, k - 1),
+                    banded.new_tail(state_i, xi, k - 1))
+        # overlap-save path works in the complex domain (matmul FFT)
+        x = jax.lax.complex(xr, xi).astype(jnp.complex64)
+        st = jax.lax.complex(state_r, state_i).astype(jnp.complex64)
+        y, ns = self(x, st)
+        return jnp.real(y), jnp.imag(y), jnp.real(ns), jnp.imag(ns)
+
     def __call__(self, x: jnp.ndarray, state: jnp.ndarray):
         """x: (C, N) complex64, state: (C, block) -> (y (C, N), new state).
 
@@ -123,15 +150,10 @@ class StreamingFilter:
         """
         c, n = x.shape
         if self.method == "fir":
-            k = self.num_taps
-            if k == 1:
-                return (x * self._h[0]).astype(jnp.complex64), state
-            ext = jnp.concatenate([state, x], axis=-1)
-            stride = banded.largest_divisor_leq(n, C.BANDED_STRIDE_CAP)
-            tr, ti = self._toeplitz_for(stride)
-            win = banded.build_windows(ext, stride, k - 1)
-            y = banded.window_matmul(win, tr, ti)
-            return y, ext[:, -(k - 1):]
+            yr, yi, nr, ni = self.apply_planar(
+                jnp.real(x), jnp.imag(x), jnp.real(state), jnp.imag(state))
+            return (jax.lax.complex(yr, yi).astype(jnp.complex64),
+                    jax.lax.complex(nr, ni).astype(jnp.complex64))
 
         b = self.block
         if n < b:

@@ -57,12 +57,18 @@ def reset(state: IqState) -> IqState:
     return state
 
 
-def apply(x: jnp.ndarray, factors: jnp.ndarray) -> jnp.ndarray:
-    """x: (C, N) complex64; factors: (C, 2) -> corrected block."""
+def apply_planar(xr: jnp.ndarray, xi: jnp.ndarray, factors: jnp.ndarray):
+    """Planar SDR# correction: I' = (1+g)I, Q' = Q + phi*I
+    (iq_correct.c:307-313)."""
     g = factors[:, 0:1]
     phi = factors[:, 1:2]
-    re = jnp.real(x)
-    return (re * (1.0 + g) + 1j * (jnp.imag(x) + phi * re)).astype(jnp.complex64)
+    return xr * (1.0 + g), xi + phi * xr
+
+
+def apply(x: jnp.ndarray, factors: jnp.ndarray) -> jnp.ndarray:
+    """x: (C, N) complex64; factors: (C, 2) -> corrected block."""
+    yr, yi = apply_planar(jnp.real(x), jnp.imag(x), factors)
+    return jax.lax.complex(yr, yi).astype(jnp.complex64)
 
 
 def _hamming(n: int) -> np.ndarray:
@@ -152,6 +158,19 @@ def _optimize_channel(x: jnp.ndarray, factors: jnp.ndarray,
     u0 = _utility(_spectrum_db(base, image, factors[0], factors[1]))
     (out, _), _ = jax.lax.scan(body, (factors, u0), None, length=passes)
     return out
+
+
+def maybe_update_planar(xr: jnp.ndarray, xi: jnp.ndarray, state: IqState,
+                        interval_samples: int, passes: int = 25,
+                        advance_samples: int | None = None) -> IqState:
+    """Planar wrapper: only the first IQ_FFT_SIZE samples feed the
+    estimator, so the complex view is built over that slice alone."""
+    n = xr.shape[-1]
+    m = min(n, C.IQ_FFT_SIZE)
+    seg = jax.lax.complex(xr[:, :m], xi[:, :m]).astype(jnp.complex64)
+    return maybe_update(seg, state, interval_samples, passes,
+                        advance_samples=(n if advance_samples is None
+                                         else advance_samples))
 
 
 def maybe_update(x: jnp.ndarray, state: IqState, interval_samples: int,

@@ -18,6 +18,7 @@ uint32 per channel.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,6 +36,24 @@ def init(channels: int) -> jnp.ndarray:
     return jnp.zeros((channels,), jnp.uint32)
 
 
+def _block_angles(n: int, phase_acc: jnp.ndarray, dtheta):
+    dtheta = jnp.asarray(dtheta, jnp.uint32)
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    # wrapping uint32 arithmetic == exact phase mod 2^32 turns
+    phases = phase_acc[..., None] + idx * dtheta[..., None]
+    ang = phases.astype(jnp.float32) * jnp.float32(_TWO_PI_OVER_2_32)
+    new_acc = phase_acc + jnp.uint32(n) * dtheta
+    return ang, new_acc
+
+
+def apply_planar(xr: jnp.ndarray, xi: jnp.ndarray, phase_acc: jnp.ndarray,
+                 dtheta):
+    """Planar mix: (xr, xi) f32 planes (C, N) -> (yr, yi, new phase acc)."""
+    ang, new_acc = _block_angles(xr.shape[-1], phase_acc, dtheta)
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    return xr * c - xi * s, xr * s + xi * c, new_acc
+
+
 def apply(x: jnp.ndarray, phase_acc: jnp.ndarray, dtheta) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Mix a block by the NCO.
 
@@ -42,15 +61,8 @@ def apply(x: jnp.ndarray, phase_acc: jnp.ndarray, dtheta) -> tuple[jnp.ndarray, 
     ``dtheta``: scalar or (C,) uint32 per-sample increment.
     Returns (mixed block, new phase accumulator).
     """
-    n = x.shape[-1]
-    dtheta = jnp.asarray(dtheta, jnp.uint32)
-    idx = jnp.arange(n, dtype=jnp.uint32)
-    # wrapping uint32 arithmetic == exact phase mod 2^32 turns
-    phases = phase_acc[..., None] + idx * dtheta[..., None]
-    ang = phases.astype(jnp.float32) * jnp.float32(_TWO_PI_OVER_2_32)
-    osc = jnp.cos(ang) + 1j * jnp.sin(ang)
-    new_acc = phase_acc + jnp.uint32(n) * dtheta
-    return (x * osc).astype(jnp.complex64), new_acc
+    yr, yi, new_acc = apply_planar(jnp.real(x), jnp.imag(x), phase_acc, dtheta)
+    return jax.lax.complex(yr, yi).astype(jnp.complex64), new_acc
 
 
 def reset(phase_acc: jnp.ndarray) -> jnp.ndarray:

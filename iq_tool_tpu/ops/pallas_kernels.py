@@ -1,0 +1,300 @@
+"""Pallas TPU kernels for the hot banded ops.
+
+The XLA path in ops/banded.py materializes the strided windows tensor in
+HBM ((C, nb, S+hist) floats written and re-read around each matmul), and
+needs the carry tail CONCATENATED onto the block (another full read +
+write).  This kernel fuses both into the matmul: a (channel, time) grid
+walks tiles of TB windows, Pallas double-buffers the bulk/halo input
+DMAs automatically (BlockSpec pipelining), windows are assembled in VMEM
+from reshaped views of x itself (the K-1 left context comes from a
+left-halo block, or from the carried state ref on the first tile), and
+the banded matrix A stays VMEM-resident across all cells (constant
+index_map).  HBM traffic drops to ~exactly in + out.
+
+Used by the polyphase resampler stages and the direct FIR filter (both
+are "banded" maps, see ops/banded.py).  Complex taps cost 4 in-kernel
+matmuls instead of 2.
+
+The kernel is planar (f32 real/imag planes): Pallas has no complex
+dtype, which is one of the reasons the whole chain runs planar.
+
+TPU tiling constraints shape the design: channel blocks are 8 sublanes
+(or all of C), the bulk tile TB*S must be a multiple of 128 lanes (TB
+chosen div-8, strides are steered to multiples of 16 where possible),
+halo blocks are the smallest 128-multiple divisor of the tile covering
+the tap history, the state block's last dim equals its full array dim,
+and the output is written (C, nb, G) so its last dim equals the full
+array dim.  ``plan()`` reports whether a geometry fits; callers fall
+back to the XLA path when it does not.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_VMEM_BUDGET = 6 * 1024 * 1024   # per-cell working set target (bytes)
+
+
+def _pick_halo(cell: int, hist: int) -> int | None:
+    """Smallest divisor of cell that is a multiple of 128 and >= hist."""
+    k = _LANES
+    while k <= cell:
+        if cell % k == 0 and k >= hist:
+            return k
+        k += _LANES
+    return None
+
+
+def plan(stride: int, hist: int, g: int, nb: int, ch: int):
+    """(cb, tb, s2, mode) tile plan or None when the geometry cannot lower.
+
+    cb: channels per block (8 when 8 | C, else all of C);
+    tb: windows per block (divides nb, div-8 or == nb, lane-aligned tile);
+    s2: halo block width (128-multiple divisor of the tile);
+    mode: 'shift' (two row-shifted matmuls; needs hist <= s and s
+    lane-aligned) or 'assemble' (in-VMEM lane-granular window build).
+    """
+    if hist <= 0 or nb <= 0:
+        return None
+    cb = 8 if ch % 8 == 0 else ch
+    l = stride + hist
+    # 'shift' trades lane-granular window assembly for a second matmul of
+    # contraction depth s; measured on v5e the extra MXU passes cost more
+    # than the assembly they save whenever hist << s, so it is only used
+    # when the history is a large fraction of the stride.
+    mode = ("shift" if (stride % _LANES == 0
+                        and stride // 2 < hist <= stride)
+            else "assemble")
+    halo_floor = stride if mode == "shift" else hist
+
+    def bytes_for(tb):
+        cell = tb * stride
+        return 4 * cb * (2 * cell + 2 * tb * l + 2 * tb * g) + 8 * l * g
+
+    for tb in range(nb, 0, -1):
+        if nb % tb or (tb % 8 and tb != nb) or (tb * stride) % _LANES:
+            continue
+        if bytes_for(tb) > _VMEM_BUDGET:
+            continue
+        s2 = _pick_halo(tb * stride, halo_floor)
+        if s2 is not None:
+            return cb, tb, s2, mode
+    return None
+
+
+def _shift_kernel(xr_b, xr_h, xr_st, xi_b, xi_h, xi_st, a1, a2,
+                  out_r, out_i, *, tb, s, hist, g):
+    """Fast path (hist <= s, s lane-aligned): window row j = [tail of row
+    j-1, row j], so win @ A = prev_rows @ A1 + rows @ A2 with A split at
+    the history boundary — two clean matmuls, zero lane-granular
+    shuffling.  Row -1 comes from the left halo (or the carried state on
+    the first time tile, spliced into its tail lanes; the splice's
+    leading lanes hit A1's zero rows)."""
+    cb = xr_b.shape[0]
+    i = pl.program_id(1)
+    a1m, a2m = a1[...], a2[...]
+
+    def plane(b_ref, h_ref, st_ref):
+        rows = b_ref[...].reshape(cb, tb, s)
+        halo_row = h_ref[:, h_ref.shape[-1] - s:]
+        state_row = jnp.concatenate(
+            [jnp.zeros((cb, s - hist), rows.dtype), st_ref[...]], axis=-1)
+        prev0 = jnp.where(i == 0, state_row, halo_row)
+        prev_rows = jnp.concatenate([prev0[:, None, :], rows[:, :-1, :]],
+                                    axis=1)
+        return (_mm(prev_rows, a1m, cb, tb, g)
+                + _mm(rows, a2m, cb, tb, g))
+
+    out_r[...] = plane(xr_b, xr_h, xr_st)
+    out_i[...] = plane(xi_b, xi_h, xi_st)
+
+
+def _shift_kernel_complex(xr_b, xr_h, xr_st, xi_b, xi_h, xi_st,
+                          a1r, a2r, a1i, a2i, out_r, out_i,
+                          *, tb, s, hist, g):
+    cb = xr_b.shape[0]
+    i = pl.program_id(1)
+
+    def rows_of(b_ref, h_ref, st_ref):
+        rows = b_ref[...].reshape(cb, tb, s)
+        halo_row = h_ref[:, h_ref.shape[-1] - s:]
+        state_row = jnp.concatenate(
+            [jnp.zeros((cb, s - hist), rows.dtype), st_ref[...]], axis=-1)
+        prev0 = jnp.where(i == 0, state_row, halo_row)
+        prev_rows = jnp.concatenate([prev0[:, None, :], rows[:, :-1, :]],
+                                    axis=1)
+        return rows, prev_rows
+
+    rr, pr = rows_of(xr_b, xr_h, xr_st)
+    ri, pi_ = rows_of(xi_b, xi_h, xi_st)
+
+    def conv(rows, prev, m1, m2):
+        return _mm(prev, m1, cb, tb, g) + _mm(rows, m2, cb, tb, g)
+
+    yr = conv(rr, pr, a1r[...], a2r[...]) - conv(ri, pi_, a1i[...], a2i[...])
+    yi = conv(ri, pi_, a1r[...], a2r[...]) + conv(rr, pr, a1i[...], a2i[...])
+    out_r[...] = yr
+    out_i[...] = yi
+
+
+def _split_matrix(a: np.ndarray, s: int, hist: int):
+    """A (s+hist, G) -> (A1, A2) both (s, G): win @ A = prev @ A1 + row @ A2."""
+    g = a.shape[1]
+    a1 = np.zeros((s, g), a.dtype)
+    a1[s - hist:, :] = a[:hist, :]
+    a2 = np.ascontiguousarray(a[hist:, :])
+    return a1, a2
+
+
+def _window_tile(left, bulk, tb: int, s: int, hist: int):
+    """(C, hist) left context + (C, tb*s) bulk -> (C, tb, s+hist) windows,
+    window j = xfull[j*s : j*s + s + hist] with xfull = left ++ bulk."""
+    ch = bulk.shape[0]
+    l = s + hist
+    n_parts = -(-l // s)                   # parts of width s covering l
+    pad = n_parts * s - l
+    xpad = jnp.concatenate(
+        [left, bulk]
+        + ([jnp.zeros((ch, pad), bulk.dtype)] if pad > 0 else []), axis=-1)
+    # xpad: (C, hist + tb*s + pad); part slice [j*s, j*s + tb*s) for
+    # j < n_parts ends at (n_parts-1)*s + tb*s = tb*s + hist + pad: in range
+    parts = []
+    remaining = l
+    for j in range(n_parts):
+        take = min(s, remaining)
+        parts.append(xpad[:, j * s:j * s + tb * s]
+                     .reshape(ch, tb, s)[:, :, :take])
+        remaining -= take
+    return jnp.concatenate(parts, axis=-1)
+
+
+# Mosaic supports only DEFAULT/HIGHEST dot precision; HIGHEST lowers f32
+# operands to the multi-pass bf16 scheme (~f32 accurate), matching the
+# >=60 dB contract of the XLA path's Precision.HIGH.
+_DOT = functools.partial(jax.lax.dot_general,
+                         dimension_numbers=(((1,), (0,)), ((), ())),
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+
+
+def _mm(win, a, ch, tb, g):
+    return _DOT(win.reshape(ch * tb, win.shape[-1]), a).reshape(ch, tb, g)
+
+
+def _left(state, halo, hist: int):
+    """First time-tile takes the stream carry; later tiles the halo tail."""
+    i = pl.program_id(1)
+    tail = halo[:, halo.shape[-1] - hist:]
+    return jnp.where(i == 0, state[...], tail)
+
+
+def _banded_kernel(xr_b, xr_h, xr_st, xi_b, xi_h, xi_st, ar,
+                   out_r, out_i, *, tb, s, hist, g):
+    ch = xr_b.shape[0]
+    win_r = _window_tile(_left(xr_st, xr_h, hist), xr_b[...], tb, s, hist)
+    win_i = _window_tile(_left(xi_st, xi_h, hist), xi_b[...], tb, s, hist)
+    out_r[...] = _mm(win_r, ar[...], ch, tb, g)
+    out_i[...] = _mm(win_i, ar[...], ch, tb, g)
+
+
+def _banded_kernel_complex(xr_b, xr_h, xr_st, xi_b, xi_h, xi_st, ar, ai,
+                           out_r, out_i, *, tb, s, hist, g):
+    ch = xr_b.shape[0]
+    win_r = _window_tile(_left(xr_st, xr_h, hist), xr_b[...], tb, s, hist)
+    win_i = _window_tile(_left(xi_st, xi_h, hist), xi_b[...], tb, s, hist)
+    a_r, a_i = ar[...], ai[...]
+    out_r[...] = (_mm(win_r, a_r, ch, tb, g) - _mm(win_i, a_i, ch, tb, g))
+    out_i[...] = (_mm(win_i, a_r, ch, tb, g) + _mm(win_r, a_i, ch, tb, g))
+
+
+def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
+                 xr: jnp.ndarray, xi: jnp.ndarray,
+                 a_r: np.ndarray, a_i: np.ndarray | None,
+                 stride: int, hist: int,
+                 interpret: bool = False):
+    """Fused strided-window banded matmul.
+
+    state_*: (C, hist) carried tap history (precedes this block's x);
+    x*: (C, n) planes, n a multiple of ``stride``;
+    a_r/a_i: (stride + hist, G) banded matrix (numpy, embedded constant).
+    Returns (yr, yi): (C, (n // stride) * G) f32.
+
+    Raises ValueError when the geometry is unsupported — gate with
+    ``plan()`` (ops/banded.py does).
+    """
+    ch, n = xr.shape
+    s = stride
+    nb = n // s
+    g = a_r.shape[1]
+    l = s + hist
+    assert a_r.shape[0] == l, (a_r.shape, l)
+    geom = plan(s, hist, g, nb, ch)
+    if geom is None:
+        raise ValueError(f"unsupported banded geometry s={s} hist={hist} "
+                         f"g={g} nb={nb}")
+    cb, tb, s2, mode = geom
+    cell = tb * s
+    complex_taps = a_i is not None and np.any(a_i)
+
+    grid = (ch // cb, nb // tb)
+    bulk_spec = pl.BlockSpec((cb, cell), lambda c, i: (c, i),
+                             memory_space=pltpu.VMEM)
+    # left halo: the s2 lanes ending at this tile's start; tile 0's map is
+    # clamped to block 0 (its content is unused — the kernel takes state)
+    halo_spec = pl.BlockSpec(
+        (cb, s2),
+        lambda c, i: (c, jnp.maximum(i * cell // s2 - 1, 0)),
+        memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((cb, hist), lambda c, i: (c, 0),
+                              memory_space=pltpu.VMEM)
+
+    if mode == "shift":
+        per_mat = [_split_matrix(a_r, s, hist)]
+        if complex_taps:
+            per_mat.append(_split_matrix(a_i, s, hist))
+            kern = functools.partial(_shift_kernel_complex,
+                                     tb=tb, s=s, hist=hist, g=g)
+        else:
+            kern = functools.partial(_shift_kernel,
+                                     tb=tb, s=s, hist=hist, g=g)
+        mats = [jnp.asarray(m) for pair in per_mat for m in pair]
+        mat_specs = [pl.BlockSpec((s, g), lambda c, i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+                     for _ in mats]
+    else:
+        mats = [jnp.asarray(a_r)]
+        if complex_taps:
+            kern = functools.partial(_banded_kernel_complex,
+                                     tb=tb, s=s, hist=hist, g=g)
+            mats.append(jnp.asarray(a_i))
+        else:
+            kern = functools.partial(_banded_kernel,
+                                     tb=tb, s=s, hist=hist, g=g)
+        mat_specs = [pl.BlockSpec((l, g), lambda c, i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+                     for _ in mats]
+
+    out_spec = pl.BlockSpec((cb, tb, g), lambda c, i: (c, i, 0),
+                            memory_space=pltpu.VMEM)
+    flops = 2 * 2 * nb * l * g * ch * (2 if len(mats) == 2 else 1)
+    yr, yi = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[bulk_spec, halo_spec, state_spec,
+                  bulk_spec, halo_spec, state_spec, *mat_specs],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((ch, nb, g), jnp.float32),
+                   jax.ShapeDtypeStruct((ch, nb, g), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=0,
+            bytes_accessed=4 * (2 * ch * (n + hist) + 2 * ch * nb * g)),
+        interpret=interpret,
+    )(xr, xr, state_r, xi, xi, state_i, *mats)
+    return yr.reshape(ch, nb * g), yi.reshape(ch, nb * g)

@@ -160,11 +160,21 @@ class _MatmulStage:
     def init(self, channels: int) -> jnp.ndarray:
         return jnp.zeros((channels, self.hist), jnp.complex64)
 
+    def init_planar(self, channels: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+        z = lambda: jnp.zeros((channels, self.hist), jnp.float32)
+        return z(), z()
+
+    def apply_planar(self, xr, xi, state_r, state_i):
+        yr, yi = banded.apply_planar(state_r, state_i, xr, xi, self._a,
+                                     None, self.stride, self.hist)
+        return (yr, yi, banded.new_tail(state_r, xr, self.hist),
+                banded.new_tail(state_i, xi, self.hist))
+
     def __call__(self, x, state):
-        ext = jnp.concatenate([state, x], axis=-1)       # (C, hist + n)
-        win = banded.build_windows(ext, self.stride, self.hist)
-        y = banded.window_matmul(win, self._a)
-        return y, ext[:, -self.hist:]
+        yr, yi, nr, ni = self.apply_planar(
+            jnp.real(x), jnp.imag(x), jnp.real(state), jnp.imag(state))
+        return (jax.lax.complex(yr, yi).astype(jnp.complex64),
+                jax.lax.complex(nr, ni).astype(jnp.complex64))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -216,12 +226,27 @@ class _ArbStage:
     def init(self, channels: int) -> jnp.ndarray:
         return jnp.zeros((channels, self.plan.history), jnp.complex64)
 
-    def __call__(self, x, state):
+    def init_planar(self, channels: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+        z = lambda: jnp.zeros((channels, self.plan.history), jnp.float32)
+        return z(), z()
+
+    def _plane(self, x, state):
         ext = jnp.concatenate([state, x], axis=-1)
         windows = ext[:, self._idx]                        # (C, M, K)
-        w = jnp.asarray(self._wr).astype(jnp.complex64)
+        w = jnp.asarray(self._wr)
         y = jnp.einsum("cmk,mk->cm", windows, w)
-        return y.astype(jnp.complex64), ext[:, -self.plan.history:]
+        return y, ext[:, -self.plan.history:]
+
+    def apply_planar(self, xr, xi, state_r, state_i):
+        yr, nr = self._plane(xr, state_r)
+        yi, ni = self._plane(xi, state_i)
+        return yr, yi, nr, ni
+
+    def __call__(self, x, state):
+        yr, yi, nr, ni = self.apply_planar(
+            jnp.real(x), jnp.imag(x), jnp.real(state), jnp.imag(state))
+        return (jax.lax.complex(yr, yi).astype(jnp.complex64),
+                jax.lax.complex(nr, ni).astype(jnp.complex64))
 
 
 # --------------------------- multi-stage driver ------------------------------
@@ -290,6 +315,16 @@ class Resampler:
 
     def init(self, channels: int) -> tuple:
         return tuple(s.init(channels) for s in self.stages)
+
+    def init_planar(self, channels: int) -> tuple:
+        return tuple(s.init_planar(channels) for s in self.stages)
+
+    def apply_planar(self, xr, xi, state: tuple):
+        new_states = []
+        for stage, (sr, si) in zip(self.stages, state):
+            xr, xi, nr, ni = stage.apply_planar(xr, xi, sr, si)
+            new_states.append((nr, ni))
+        return xr, xi, tuple(new_states)
 
     def reset(self, state: tuple) -> tuple:
         return jax.tree_util.tree_map(jnp.zeros_like, state)

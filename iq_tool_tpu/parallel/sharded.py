@@ -103,20 +103,22 @@ class ShardedChain:
             "nco_pre": ("rep", nco.init),
             "nco_post": ("rep", nco.init),
         }
+        # halo leaves are PLANAR: width 2H = real tail ++ imag tail, so one
+        # ppermute still moves a stage's whole state
         if lc.cfg.dc_block:
-            leaves["dc_x"] = ("halo", 1)
+            leaves["dc_x"] = ("halo", 2 * 1)
             leaves["dc_y"] = ("rep",
-                              lambda ch: jnp.zeros((ch,), jnp.complex64))
+                              lambda ch: jnp.zeros((ch, 2), jnp.float32))
         if lc.cfg.iq_correction:
             leaves["iq"] = ("rep", iq_balance.init)
         if lc.pre_filter:
-            leaves["pre_f"] = ("halo", lc.pre_filter.block)
+            leaves["pre_f"] = ("halo", 2 * lc.pre_filter.block)
         if lc.resampler:
             for si, st in enumerate(lc.resampler.stages):
                 h = st.init(1).shape[-1]
-                leaves[f"rs{si}"] = ("halo", h)
+                leaves[f"rs{si}"] = ("halo", 2 * h)
         if lc.post_filter:
-            leaves["post_f"] = ("halo", lc.post_filter.block)
+            leaves["post_f"] = ("halo", 2 * lc.post_filter.block)
         if lc.agc_cfg:
             leaves["agc"] = ("rep", agc_ops.init)
         return leaves
@@ -130,7 +132,7 @@ class ShardedChain:
             for name, spec in struct.items():
                 if spec[0] == "halo":
                     out[name] = jnp.zeros((ch_global, self.t * spec[1]),
-                                          jnp.complex64)
+                                          jnp.float32)
                 else:
                     # build global-channel-sized replicated leaves by
                     # re-invoking the maker at the global channel count
@@ -171,24 +173,17 @@ class ShardedChain:
         use = jnp.where(idx == 0, carry_tail, recv)
         return use, recv
 
-    def _dc_sharded(self, x, x_prev_use, carry_y, alpha):
-        """Exact cross-shard first-order IIR (see module docstring)."""
-        a = jnp.complex64(1.0 - alpha)
+    def _dc_sharded_plane(self, x, x_prev_use, carry_y, alpha):
+        """Exact cross-shard first-order IIR, one real plane (see module
+        docstring).  Shard-local prefix reuses the two-level MXU scan."""
+        from iq_tool_tpu.ops.dc_block import _apply_plane
         n = x.shape[-1]
-        xm1 = jnp.concatenate([x_prev_use, x[:, :-1]], axis=-1)
-        b = x - xm1
-
-        def combine(l, r):
-            a1, b1 = l
-            a2, b2 = r
-            return a1 * a2, b2 + a2 * b1
-
-        coeffs = jnp.full_like(b, a)
-        _, y0 = jax.lax.associative_scan(combine, (coeffs, b), axis=-1)
-        end0 = y0[:, -1]                                   # (C,)
+        # local scan from zero initial y, with the halo'd x[-1]
+        y0, _, end0 = _apply_plane(x, x_prev_use[:, 0], jnp.zeros_like(carry_y),
+                                   alpha)
         ends = jax.lax.all_gather(end0, "time")            # (T, C)
         a_real = 1.0 - alpha                               # python float
-        a_l = jnp.complex64(a_real ** n)
+        a_l = jnp.float32(a_real ** n)
         starts = [carry_y]
         for j in range(1, self.t):
             starts.append(ends[j - 1] + a_l * starts[j - 1])
@@ -200,35 +195,40 @@ class ShardedChain:
         apow = apow.astype(np.float32)
         y = y0 + start[:, None] * apow[None, :]
         new_carry_y = ends[self.t - 1] + a_l * starts_arr[self.t - 1]
-        return y.astype(jnp.complex64), new_carry_y
+        return y, new_carry_y
 
-    def _agc_sharded(self, x, state, cfg):
+    def _agc_sharded(self, xr, xi, state, cfg):
         if cfg.profile == "digital":
-            peak_local = jnp.max(jnp.abs(x), axis=-1)
+            peak_local = jnp.sqrt(jnp.max(xr * xr + xi * xi, axis=-1))
             peak = jax.lax.pmax(peak_local, "time")
-            n_total = x.shape[-1] * self.t
+            n_total = xr.shape[-1] * self.t
             gain, new_state = agc_ops.digital_update(state, peak, n_total, cfg)
-            return (x * gain[:, None]).astype(jnp.complex64), new_state
-        c, n = x.shape
+            g = gain[:, None]
+            return xr * g, xi * g, new_state
+        c, n = xr.shape
         n_seg, seg, beta = agc_ops.rms_params(cfg, n)
-        xs = x[:, : n_seg * seg].reshape(c, n_seg, seg)
-        e_local = jnp.mean(jnp.abs(xs) ** 2, axis=-1).T    # (n_seg, C)
+        xsr = xr[:, : n_seg * seg].reshape(c, n_seg, seg)
+        xsi = xi[:, : n_seg * seg].reshape(c, n_seg, seg)
+        e_local = jnp.mean(xsr * xsr + xsi * xsi, axis=-1).T  # (n_seg, C)
         e_all = jax.lax.all_gather(e_local, "time")        # (T, n_seg, C)
         e_flat = e_all.reshape(self.t * n_seg, c)
         gains, g_fin, e2_fin = agc_ops.rms_scan(
             e_flat, state.gain, state.e2, beta, cfg.target)
         idx = jax.lax.axis_index("time")
         my_gains = jax.lax.dynamic_slice_in_dim(gains, idx * n_seg, n_seg, 0)
-        y = (xs * my_gains.T[:, :, None]).reshape(c, n_seg * seg)
+        gseg = my_gains.T[:, :, None]
+        yr = (xsr * gseg).reshape(c, n_seg * seg)
+        yi = (xsi * gseg).reshape(c, n_seg * seg)
         if n_seg * seg < n:
             # ragged tail uses THIS shard's last gain (matches the
             # sequential per-block behavior of agc._apply_rms)
-            y = jnp.concatenate(
-                [y, x[:, n_seg * seg:] * my_gains[-1][:, None]], -1)
+            g_last = my_gains[-1][:, None]
+            yr = jnp.concatenate([yr, xr[:, n_seg * seg:] * g_last], -1)
+            yi = jnp.concatenate([yi, xi[:, n_seg * seg:] * g_last], -1)
         new_state = state._replace(
             gain=g_fin, e2=e2_fin,
             samples_seen=state.samples_seen + jnp.uint32(n * self.t))
-        return y.astype(jnp.complex64), new_state
+        return yr, yi, new_state
 
     def _local_step(self, carry: dict, raw: jnp.ndarray, reset: jnp.ndarray):
         """Runs per time/channel shard inside shard_map.
@@ -253,54 +253,68 @@ class ShardedChain:
 
         carry = jax.lax.cond(reset, reset_carry, lambda cc: cc, carry)
 
+        def tail2(xr, xi, h):
+            """Planar stage tail, packed real ++ imag for one ppermute."""
+            return jnp.concatenate([xr[:, -h:], xi[:, -h:]], axis=-1)
+
         new = dict(carry)
-        x = convert.to_cf32(raw, lc.fmt_in, cfg.gain)
+        xr, xi = convert.to_planar(raw, lc.fmt_in, cfg.gain)
 
         if cfg.dc_block:
-            use, new["dc_x"] = self._halo(x[:, -1:], carry["dc_x"])
-            x, new["dc_y"] = self._dc_sharded(x, use, carry["dc_y"],
-                                              lc.dc_alpha)
+            use, new["dc_x"] = self._halo(tail2(xr, xi, 1), carry["dc_x"])
+            yr, cyr = self._dc_sharded_plane(xr, use[:, 0:1],
+                                             carry["dc_y"][:, 0], lc.dc_alpha)
+            yi, cyi = self._dc_sharded_plane(xi, use[:, 1:2],
+                                             carry["dc_y"][:, 1], lc.dc_alpha)
+            xr, xi = yr, yi
+            new["dc_y"] = jnp.stack([cyr, cyi], axis=-1)
         if cfg.iq_correction:
             # broadcast shard 0's leading 1024 samples (masked psum)
-            seg = x[:, :C.IQ_FFT_SIZE]
+            nf = C.IQ_FFT_SIZE
+            seg = jnp.concatenate([xr[:, :nf], xi[:, :nf]], axis=-1)
             seg0 = jnp.where(t_idx == 0, seg, jnp.zeros_like(seg))
             seg_b = jax.lax.psum(seg0, "time")
-            new["iq"] = iq_balance.maybe_update(
-                seg_b, carry["iq"], lc.iq_interval,
+            new["iq"] = iq_balance.maybe_update_planar(
+                seg_b[:, :nf], seg_b[:, nf:], carry["iq"], lc.iq_interval,
                 advance_samples=self.t * n_sub)
-            x = iq_balance.apply(x, new["iq"].factors)
+            xr, xi = iq_balance.apply_planar(xr, xi, new["iq"].factors)
         if int(lc.dtheta_pre) != 0:
             phase = (carry["nco_pre"]
                      + t_idx.astype(jnp.uint32) * jnp.uint32(n_sub)
                      * lc.dtheta_pre)
-            x, _ = nco.apply(x, phase, lc.dtheta_pre)
+            xr, xi, _ = nco.apply_planar(xr, xi, phase, lc.dtheta_pre)
             new["nco_pre"] = (carry["nco_pre"]
                               + jnp.uint32(self.t * n_sub) * lc.dtheta_pre)
         if lc.pre_filter:
-            use, new["pre_f"] = self._halo(x[:, -lc.pre_filter.block:],
-                                           carry["pre_f"])
-            x, _ = lc.pre_filter(x, use)
+            b = lc.pre_filter.block
+            use, new["pre_f"] = self._halo(tail2(xr, xi, b), carry["pre_f"])
+            xr, xi, _, _ = lc.pre_filter.apply_planar(
+                xr, xi, use[:, :b], use[:, b:])
         if lc.resampler:
             for si, stage in enumerate(lc.resampler.stages):
-                h = carry[f"rs{si}"].shape[-1]
-                use, new[f"rs{si}"] = self._halo(x[:, -h:], carry[f"rs{si}"])
-                x, _ = stage(x, use)
+                h = carry[f"rs{si}"].shape[-1] // 2
+                use, new[f"rs{si}"] = self._halo(tail2(xr, xi, h),
+                                                 carry[f"rs{si}"])
+                xr, xi, _, _ = stage.apply_planar(
+                    xr, xi, use[:, :h], use[:, h:])
         if lc.post_filter:
-            use, new["post_f"] = self._halo(x[:, -lc.post_filter.block:],
-                                            carry["post_f"])
-            x, _ = lc.post_filter(x, use)
+            b = lc.post_filter.block
+            use, new["post_f"] = self._halo(tail2(xr, xi, b), carry["post_f"])
+            xr, xi, _, _ = lc.post_filter.apply_planar(
+                xr, xi, use[:, :b], use[:, b:])
         if int(lc.dtheta_post) != 0:
             n_out_sub = lc.n_out
             phase = (carry["nco_post"]
                      + t_idx.astype(jnp.uint32) * jnp.uint32(n_out_sub)
                      * lc.dtheta_post)
-            x, _ = nco.apply(x, phase, lc.dtheta_post)
+            xr, xi, _ = nco.apply_planar(xr, xi, phase, lc.dtheta_post)
             new["nco_post"] = (carry["nco_post"]
                                + jnp.uint32(self.t * n_out_sub)
                                * lc.dtheta_post)
         if lc.agc_cfg:
-            x, new["agc"] = self._agc_sharded(x, carry["agc"], lc.agc_cfg)
-        out = convert.from_cf32(x, lc.fmt_out)
+            xr, xi, new["agc"] = self._agc_sharded(xr, xi, carry["agc"],
+                                                   lc.agc_cfg)
+        out = convert.from_planar(xr, xi, lc.fmt_out)
         return new, out
 
     @property

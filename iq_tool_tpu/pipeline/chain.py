@@ -177,17 +177,21 @@ class Chain:
         return jax.jit(functools.partial(self._build_carry, ch))()
 
     def _build_carry(self, ch: int) -> dict:
+        """Carry leaves are PLANAR float32 (real/imag pairs): the whole
+        step works on plane arrays — complex64 decomposes to plane math
+        under XLA anyway, planar skips the re/im extraction round trips,
+        and Pallas kernels have no complex dtype."""
         carry = {"nco_pre": nco.init(ch), "nco_post": nco.init(ch)}
         if self.cfg.dc_block:
-            carry["dc"] = dc_block.init(ch)
+            carry["dc"] = dc_block.init_planar(ch)
         if self.cfg.iq_correction:
             carry["iq"] = iq_balance.init(ch)
         if self.pre_filter:
-            carry["pre_f"] = self.pre_filter.init(ch)
+            carry["pre_f"] = self.pre_filter.init_planar(ch)
         if self.resampler:
-            carry["rs"] = self.resampler.init(ch)
+            carry["rs"] = self.resampler.init_planar(ch)
         if self.post_filter:
-            carry["post_f"] = self.post_filter.init(ch)
+            carry["post_f"] = self.post_filter.init_planar(ch)
         if self.agc_cfg:
             carry["agc"] = agc_ops.init(ch)
         return carry
@@ -208,30 +212,44 @@ class Chain:
     # ------------------------------ step --------------------------------------
 
     def _step(self, carry: dict, raw: jnp.ndarray, reset: jnp.ndarray):
-        """raw: (C, n_in * items) wire array -> (carry, (C, n_out * items))."""
+        """raw: (C, n_in * items) wire array -> (carry, (C, n_out * items)).
+
+        The entire step runs on planar float32 (xr, xi) planes; see
+        _build_carry for why.
+        """
         cfg = self.cfg
         carry = jax.lax.cond(reset, self._reset_carry, lambda c: c, carry)
         new = dict(carry)
 
-        x = convert.to_cf32(raw, self.fmt_in, cfg.gain)
+        xr, xi = convert.to_planar(raw, self.fmt_in, cfg.gain)
         if cfg.dc_block:
-            x, new["dc"] = dc_block.apply(x, carry["dc"], self.dc_alpha)
+            xr, xi, new["dc"] = dc_block.apply_planar(
+                xr, xi, carry["dc"], self.dc_alpha)
         if cfg.iq_correction:
-            new["iq"] = iq_balance.maybe_update(x, carry["iq"], self.iq_interval)
-            x = iq_balance.apply(x, new["iq"].factors)
+            new["iq"] = iq_balance.maybe_update_planar(
+                xr, xi, carry["iq"], self.iq_interval)
+            xr, xi = iq_balance.apply_planar(xr, xi, new["iq"].factors)
         if int(self.dtheta_pre) != 0:
-            x, new["nco_pre"] = nco.apply(x, carry["nco_pre"], self.dtheta_pre)
+            xr, xi, new["nco_pre"] = nco.apply_planar(
+                xr, xi, carry["nco_pre"], self.dtheta_pre)
         if self.pre_filter:
-            x, new["pre_f"] = self.pre_filter(x, carry["pre_f"])
+            xr, xi, nr, ni = self.pre_filter.apply_planar(
+                xr, xi, *carry["pre_f"])
+            new["pre_f"] = (nr, ni)
         if self.resampler:
-            x, new["rs"] = self.resampler(x, carry["rs"])
+            xr, xi, new["rs"] = self.resampler.apply_planar(
+                xr, xi, carry["rs"])
         if self.post_filter:
-            x, new["post_f"] = self.post_filter(x, carry["post_f"])
+            xr, xi, nr, ni = self.post_filter.apply_planar(
+                xr, xi, *carry["post_f"])
+            new["post_f"] = (nr, ni)
         if int(self.dtheta_post) != 0:
-            x, new["nco_post"] = nco.apply(x, carry["nco_post"], self.dtheta_post)
+            xr, xi, new["nco_post"] = nco.apply_planar(
+                xr, xi, carry["nco_post"], self.dtheta_post)
         if self.agc_cfg:
-            x, new["agc"] = agc_ops.apply(x, carry["agc"], self.agc_cfg)
-        out = convert.from_cf32(x, self.fmt_out)
+            xr, xi, new["agc"] = agc_ops.apply_planar(
+                xr, xi, carry["agc"], self.agc_cfg)
+        out = convert.from_planar(xr, xi, self.fmt_out)
         return new, out
 
     @property

@@ -1,0 +1,75 @@
+"""Pallas banded kernel vs the XLA build_windows+matmul reference.
+
+Runs in interpret mode (tests are on CPU); on TPU the same kernel code
+compiles via Mosaic.
+"""
+
+import numpy as np
+import pytest
+
+from iq_tool_tpu.ops import banded, pallas_kernels
+
+
+def _ref(state_r, state_i, xr, xi, a_r, a_i, stride, hist):
+    ext_r = np.concatenate([state_r, xr], axis=-1)
+    ext_i = np.concatenate([state_i, xi], axis=-1)
+    wr = banded.build_windows(ext_r, stride, hist)
+    wi = banded.build_windows(ext_i, stride, hist)
+    return banded.window_matmul_planar(wr, wi, a_r, a_i)
+
+
+def _rand_case(rng, stride, hist, g, nb, ch, complex_taps=False):
+    n = stride * nb
+    l = stride + hist
+    state_r = rng.standard_normal((ch, hist)).astype(np.float32)
+    state_i = rng.standard_normal((ch, hist)).astype(np.float32)
+    xr = rng.standard_normal((ch, n)).astype(np.float32)
+    xi = rng.standard_normal((ch, n)).astype(np.float32)
+    a_r = rng.standard_normal((l, g)).astype(np.float32)
+    a_i = (rng.standard_normal((l, g)).astype(np.float32)
+           if complex_taps else None)
+    return state_r, state_i, xr, xi, a_r, a_i
+
+
+@pytest.mark.parametrize("stride,hist,g,nb,ch", [
+    (64, 23, 57, 8, 3),     # resampler-stage-like (p<q band)
+    (32, 31, 32, 16, 2),    # FIR-like toeplitz geometry
+    (16, 55, 16, 32, 1),    # hist > stride (deep-decimation stage)
+    (128, 1, 96, 4, 2),     # minimal history
+    (64, 23, 57, 16, 8),    # 8-channel blocks (cb=8 path)
+    (256, 54, 216, 16, 8),  # shift fast path, FIR-like
+    (512, 23, 441, 8, 8),   # shift fast path, NRSC-5 stage-1 geometry
+])
+def test_banded_pallas_matches_xla(rng, stride, hist, g, nb, ch):
+    case = _rand_case(rng, stride, hist, g, nb, ch)
+    ref_r, ref_i = _ref(*case, stride, hist)
+    out_r, out_i = pallas_kernels.banded_apply(*case, stride, hist,
+                                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(ref_r),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_i), np.asarray(ref_i),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_banded_pallas_complex_taps(rng):
+    stride, hist, g, nb, ch = 64, 40, 64, 8, 2
+    case = _rand_case(rng, stride, hist, g, nb, ch, complex_taps=True)
+    ref_r, ref_i = _ref(*case, stride, hist)
+    out_r, out_i = pallas_kernels.banded_apply(*case, stride, hist,
+                                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(ref_r),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_i), np.asarray(ref_i),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_state_actually_feeds_first_windows(rng):
+    """A nonzero carry must shape the first outputs (left-context path)."""
+    stride, hist, g, nb, ch = 32, 8, 32, 8, 1
+    case = list(_rand_case(rng, stride, hist, g, nb, ch))
+    out1 = pallas_kernels.banded_apply(*case, stride, hist, interpret=True)
+    case[0] = case[0] + 1.0   # perturb state_r
+    out2 = pallas_kernels.banded_apply(*case, stride, hist, interpret=True)
+    d = np.abs(np.asarray(out1[0]) - np.asarray(out2[0]))
+    assert d[:, :g].max() > 0          # first group affected
+    assert d[:, 2 * g:].max() == 0     # later groups untouched
