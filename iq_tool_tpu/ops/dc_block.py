@@ -123,7 +123,19 @@ def init_planar(channels: int) -> PlanarDcState:
 
 def apply_planar(xr: jnp.ndarray, xi: jnp.ndarray, state: PlanarDcState,
                  alpha: float):
-    """Planar f32 planes (C, N) -> (yr, yi, new_state)."""
+    """Planar f32 planes (C, N) -> (yr, yi, new_state).  Uses the fused
+    Pallas kernel on TPU (one pass over HBM); two-level XLA scan
+    elsewhere."""
+    from iq_tool_tpu.ops import banded
+    if banded._on_tpu():
+        from iq_tool_tpu.ops import pallas_kernels
+        st4 = jnp.stack([state.xr_prev, state.xi_prev,
+                         state.yr_prev, state.yi_prev], axis=-1)
+        res = pallas_kernels.dc_block_apply(xr, xi, st4, alpha)
+        if res is not None:
+            yr, yi, st = res
+            return yr, yi, PlanarDcState(st[:, 0], st[:, 1],
+                                         st[:, 2], st[:, 3])
     yr, xr_l, yr_l = _apply_plane(xr, state.xr_prev, state.yr_prev, alpha)
     yi, xi_l, yi_l = _apply_plane(xi, state.xi_prev, state.yi_prev, alpha)
     return yr, yi, PlanarDcState(xr_l, xi_l, yr_l, yi_l)

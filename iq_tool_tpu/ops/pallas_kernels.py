@@ -298,3 +298,112 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
         interpret=interpret,
     )(xr, xr, state_r, xi, xi, state_i, *mats)
     return yr.reshape(ch, nb * g), yi.reshape(ch, nb * g)
+
+
+# ---------------------------- DC blocker kernel -------------------------------
+
+def _dc_kernel(xr_ref, xi_ref, st_ref, m_ref, d_ref,
+               outr_ref, outi_ref, stout_ref, carry,
+               *, cb, cell, t, a):
+    """Fused DC-block recurrence over one (cb, cell) tile.
+
+    y[n] = a*y[n-1] + x[n] - x[n-1] with closed-form in-subtile prefixes
+    via ONE triangular matmul (m_ref: M[i,j] = a^(i-j)), a sequential
+    fori_loop over the cell's sub-tiles for the carry, and a VMEM scratch
+    carrying (x_prev, y_prev) per plane across grid cells (the TPU grid
+    iterates the time dimension innermost, so scratch state flows in
+    stream order; cell 0 loads the stream carry from st_ref)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        carry[...] = st_ref[...]
+
+    n_t = cell // t
+    m = m_ref[...]
+    decay = d_ref[...]                      # (1, t): a^1..a^t
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (cb, cell), 1) == 0
+    af = jnp.float32(a)
+
+    def plane(x_ref, out_ref, pidx):
+        x = x_ref[...]
+        x_prev = carry[:, pidx:pidx + 1]
+        y_prev = carry[:, pidx + 2:pidx + 3]
+        xm1 = pltpu.roll(x, 1, axis=1)
+        b = x - jnp.where(lane0, x_prev, xm1)
+        # the carried y[-1] folds into the first element, so the subtile
+        # carry loop below starts from ZERO (no double count)
+        b = jnp.where(lane0, b + af * y_prev, b)
+        y_loc = _DOT(b.reshape(cb * n_t, t), m).reshape(cb, n_t, t)
+
+        # static unroll: Mosaic cannot dynamic_slice VMEM *values*
+        yp = jnp.zeros((cb, 1), jnp.float32)
+        for j in range(n_t):
+            seg = y_loc[:, j, :] + yp * decay
+            out_ref[:, j * t:(j + 1) * t] = seg
+            yp = seg[:, t - 1:t]
+        return x[:, cell - 1:cell], yp
+
+    xr_l, yr_l = plane(xr_ref, outr_ref, 0)
+    xi_l, yi_l = plane(xi_ref, outi_ref, 1)
+    carry[:, 0:1] = xr_l
+    carry[:, 1:2] = xi_l
+    carry[:, 2:3] = yr_l
+    carry[:, 3:4] = yi_l
+    stout_ref[...] = carry[...]
+
+
+def dc_block_apply(xr: jnp.ndarray, xi: jnp.ndarray, state: jnp.ndarray,
+                   alpha: float, interpret: bool = False):
+    """Planar DC blocker: x*: (C, N); state: (C, 4) f32 rows
+    [xr_prev, xi_prev, yr_prev, yi_prev].  Returns (yr, yi, new_state).
+    Returns None when the geometry cannot lower (caller falls back)."""
+    ch, n = xr.shape
+    a = float(1.0 - alpha)
+    t = 128
+    if n % t:
+        return None
+    cb = 8 if ch % 8 == 0 else ch
+    # cell: lane-aligned divisor of n, sized to the VMEM budget and capped
+    # so the (static) subtile unroll stays small
+    max_cell = min(max(t, _VMEM_BUDGET // (6 * 4 * cb)), 32 * t)
+    cell = 0
+    for d in range(max_cell, t - 1, -1):
+        if n % d == 0 and d % t == 0:
+            cell = d
+            break
+    if not cell:
+        return None
+
+    i_idx = np.arange(t)
+    e = i_idx[:, None] - i_idx[None, :]
+    m = np.where(e >= 0, np.float64(a) ** np.maximum(e, 0), 0.0)
+    # y_local = b @ M^T with M[i,j] = a^(i-j)  ->  pass M^T directly
+    m_t = np.ascontiguousarray(m.T.astype(np.float32))
+    d_vec = (np.float64(a) ** np.arange(1, t + 1)).astype(np.float32)[None, :]
+
+    grid = (ch // cb, n // cell)
+    kern = functools.partial(_dc_kernel, cb=cb, cell=cell, t=t, a=a)
+    x_spec = pl.BlockSpec((cb, cell), lambda c, i: (c, i),
+                          memory_space=pltpu.VMEM)
+    st_spec = pl.BlockSpec((cb, 4), lambda c, i: (c, 0),
+                           memory_space=pltpu.VMEM)
+    yr, yi, st = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[x_spec, x_spec, st_spec,
+                  pl.BlockSpec((t, t), lambda c, i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, t), lambda c, i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(x_spec, x_spec, st_spec),
+        out_shape=(jax.ShapeDtypeStruct((ch, n), jnp.float32),
+                   jax.ShapeDtypeStruct((ch, n), jnp.float32),
+                   jax.ShapeDtypeStruct((ch, 4), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((cb, 4), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n * t * ch, transcendentals=0,
+            bytes_accessed=4 * 4 * ch * n),
+        interpret=interpret,
+    )(xr, xi, state, jnp.asarray(m_t), jnp.asarray(d_vec))
+    return yr, yi, st

@@ -73,3 +73,36 @@ def test_state_actually_feeds_first_windows(rng):
     d = np.abs(np.asarray(out1[0]) - np.asarray(out2[0]))
     assert d[:, :g].max() > 0          # first group affected
     assert d[:, 2 * g:].max() == 0     # later groups untouched
+
+def test_dc_block_pallas_matches_xla(rng):
+    from iq_tool_tpu.ops import dc_block as dcb
+    ch, n = 8, 2048
+    alpha = dcb.alpha_for_rate(2_048_000.0)
+    xr = rng.standard_normal((ch, n)).astype(np.float32)
+    xi = rng.standard_normal((ch, n)).astype(np.float32)
+    st = dcb.PlanarDcState(
+        rng.standard_normal(ch).astype(np.float32),
+        rng.standard_normal(ch).astype(np.float32),
+        rng.standard_normal(ch).astype(np.float32),
+        rng.standard_normal(ch).astype(np.float32))
+    ref_r, _, ref_st = dcb._apply_plane(xr, st.xr_prev, st.yr_prev, alpha)
+    ref_i, _, _ = dcb._apply_plane(xi, st.xi_prev, st.yi_prev, alpha)
+
+    st4 = np.stack([st.xr_prev, st.xi_prev, st.yr_prev, st.yi_prev], -1)
+    out = pallas_kernels.dc_block_apply(xr, xi, st4, alpha, interpret=True)
+    assert out is not None
+    yr, yi, new_st = out
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(ref_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(yi), np.asarray(ref_i),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(new_st[:, 2]), np.asarray(ref_st),
+                               rtol=1e-4, atol=1e-4)
+    # streaming: two half blocks == one whole block
+    h = n // 2
+    y1r, y1i, s1 = pallas_kernels.dc_block_apply(
+        xr[:, :h], xi[:, :h], st4, alpha, interpret=True)
+    y2r, y2i, _ = pallas_kernels.dc_block_apply(
+        xr[:, h:], xi[:, h:], np.asarray(s1), alpha, interpret=True)
+    np.testing.assert_allclose(np.concatenate([y1r, y2r], -1),
+                               np.asarray(yr), rtol=1e-4, atol=1e-4)
