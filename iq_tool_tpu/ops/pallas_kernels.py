@@ -175,17 +175,37 @@ def _window_tile(left, bulk, tb: int, s: int, hist: int):
     return jnp.concatenate(parts, axis=-1)
 
 
-# Mosaic supports only DEFAULT/HIGHEST dot precision; HIGHEST lowers f32
-# operands to the multi-pass bf16 scheme (~f32 accurate), matching the
-# >=60 dB contract of the XLA path's Precision.HIGH.
-_DOT = functools.partial(jax.lax.dot_general,
-                         dimension_numbers=(((1,), (0,)), ((), ())),
-                         precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=jnp.float32)
+# Matmul precision: Mosaic offers DEFAULT (1-pass bf16, ~2e-3 error: below
+# the 60 dB contract) and HIGHEST (multi-pass, ~f32, measured ~1.45x
+# slower than needed).  We hand-roll the 3-term bf16 scheme instead:
+# with x = hi + lo and A = A_hi + A_lo (both splits exact in bf16),
+# x@A ~= hi@A_hi + lo@A_hi + hi@A_lo (the dropped lo@A_lo term is
+# O(2^-16)); measured error ~4e-5 (~88 dB), comfortably above the 60 dB
+# budget, at 3 single-pass matmuls.  Banded matrices are pre-split on the
+# host and passed as one stacked (2, rows, G) bf16 ref per logical matrix.
+_DOT_BF16 = functools.partial(jax.lax.dot_general,
+                              dimension_numbers=(((1,), (0,)), ((), ())),
+                              precision=jax.lax.Precision.DEFAULT,
+                              preferred_element_type=jnp.float32)
 
 
-def _mm(win, a, ch, tb, g):
-    return _DOT(win.reshape(ch * tb, win.shape[-1]), a).reshape(ch, tb, g)
+def _split_np(a: np.ndarray) -> np.ndarray:
+    """f32 (rows, g) -> stacked (2, rows, g) bf16 [hi, lo], exact sum."""
+    import ml_dtypes
+    hi = a.astype(ml_dtypes.bfloat16)
+    lo = (a.astype(np.float32) - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return np.stack([hi, lo])
+
+
+def _mm(win, a_pair, ch, tb, g):
+    """win (ch, tb, rows) f32 @ stacked bf16 pair (2, rows, g) -> f32."""
+    w = win.reshape(ch * tb, win.shape[-1])
+    w_hi = w.astype(jnp.bfloat16)
+    w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    a_hi, a_lo = a_pair[0], a_pair[1]
+    y = (_DOT_BF16(w_hi, a_hi) + _DOT_BF16(w_lo, a_hi)
+         + _DOT_BF16(w_hi, a_lo))
+    return y.reshape(ch, tb, g)
 
 
 def _left(state, halo, hist: int):
@@ -264,20 +284,20 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
         else:
             kern = functools.partial(_shift_kernel,
                                      tb=tb, s=s, hist=hist, g=g)
-        mats = [jnp.asarray(m) for pair in per_mat for m in pair]
-        mat_specs = [pl.BlockSpec((s, g), lambda c, i: (0, 0),
+        mats = [jnp.asarray(_split_np(m)) for pair in per_mat for m in pair]
+        mat_specs = [pl.BlockSpec((2, s, g), lambda c, i: (0, 0, 0),
                                   memory_space=pltpu.VMEM)
                      for _ in mats]
     else:
-        mats = [jnp.asarray(a_r)]
+        mats = [jnp.asarray(_split_np(a_r))]
         if complex_taps:
             kern = functools.partial(_banded_kernel_complex,
                                      tb=tb, s=s, hist=hist, g=g)
-            mats.append(jnp.asarray(a_i))
+            mats.append(jnp.asarray(_split_np(a_i)))
         else:
             kern = functools.partial(_banded_kernel,
                                      tb=tb, s=s, hist=hist, g=g)
-        mat_specs = [pl.BlockSpec((l, g), lambda c, i: (0, 0),
+        mat_specs = [pl.BlockSpec((2, l, g), lambda c, i: (0, 0, 0),
                                   memory_space=pltpu.VMEM)
                      for _ in mats]
 
@@ -334,7 +354,13 @@ def _dc_kernel(xr_ref, xi_ref, st_ref, m_ref, d_ref,
         # the carried y[-1] folds into the first element, so the subtile
         # carry loop below starts from ZERO (no double count)
         b = jnp.where(lane0, b + af * y_prev, b)
-        y_loc = _DOT(b.reshape(cb * n_t, t), m).reshape(cb, n_t, t)
+        # exact (HIGHEST) matmul: the IIR feedback amplifies matmul
+        # rounding by ~1/sqrt(1 - a^2t), so the bf16x3 scheme is not
+        # accurate enough here; the triangular matmul is small anyway
+        y_loc = jax.lax.dot_general(
+            b.reshape(cb * n_t, t), m, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32).reshape(cb, n_t, t)
 
         # static unroll: Mosaic cannot dynamic_slice VMEM *values*
         yp = jnp.zeros((cb, 1), jnp.float32)

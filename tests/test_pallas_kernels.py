@@ -1,7 +1,8 @@
 """Pallas banded kernel vs the XLA build_windows+matmul reference.
 
 Runs in interpret mode (tests are on CPU); on TPU the same kernel code
-compiles via Mosaic.
+compiles via Mosaic.  Tolerances reflect the kernels' 3-term bf16 matmul
+scheme (~4e-5 relative, ~88 dB — see ops/pallas_kernels.py), not f32.
 """
 
 import numpy as np
@@ -46,9 +47,9 @@ def test_banded_pallas_matches_xla(rng, stride, hist, g, nb, ch):
     out_r, out_i = pallas_kernels.banded_apply(*case, stride, hist,
                                                interpret=True)
     np.testing.assert_allclose(np.asarray(out_r), np.asarray(ref_r),
-                               rtol=1e-5, atol=1e-4)
+                               rtol=5e-4, atol=2e-3)
     np.testing.assert_allclose(np.asarray(out_i), np.asarray(ref_i),
-                               rtol=1e-5, atol=1e-4)
+                               rtol=5e-4, atol=2e-3)
 
 
 def test_banded_pallas_complex_taps(rng):
@@ -58,9 +59,9 @@ def test_banded_pallas_complex_taps(rng):
     out_r, out_i = pallas_kernels.banded_apply(*case, stride, hist,
                                                interpret=True)
     np.testing.assert_allclose(np.asarray(out_r), np.asarray(ref_r),
-                               rtol=1e-5, atol=1e-4)
+                               rtol=5e-4, atol=2e-3)
     np.testing.assert_allclose(np.asarray(out_i), np.asarray(ref_i),
-                               rtol=1e-5, atol=1e-4)
+                               rtol=5e-4, atol=2e-3)
 
 
 def test_state_actually_feeds_first_windows(rng):
