@@ -256,9 +256,29 @@ def _fix_negative_numbers(argv: list[str]) -> list[str]:
     return out
 
 
+def _check_preset_pseudo_flags(parser, argv) -> None:
+    """The reference registers preset names as pseudo-flags that error
+    helpfully when used as options (cli.c:38-45, 177-194): catch
+    '--cu8-nrsc5' style mistakes before argparse's generic error."""
+    flagged = [t for t in argv if t.startswith("--")]
+    if not flagged:
+        return
+    try:
+        presets, _ = load_presets()
+    except Exception:
+        return
+    for tok in flagged:
+        name = tok[2:].split("=")[0].lower()
+        if name in presets:
+            parser.error(
+                f"'{tok}' is a preset name, not an option; presets are "
+                f"applied with --preset {name}")
+
+
 def main(argv=None) -> int:
     parser = build_parser()
     argv = _fix_negative_numbers(list(sys.argv[1:] if argv is None else argv))
+    _check_preset_pseudo_flags(parser, argv)
     args = parser.parse_args(argv)
 
     if args.list_presets:

@@ -242,3 +242,14 @@ def test_checkpoint_resume_wav_output(tmp_path):
     assert rf.info.frames == rp.info.frames
     assert rf.read_frames(rf.info.frames) == rp.read_frames(rp.info.frames)
     rf.close(); rp.close()
+
+
+def test_preset_name_as_flag_errors_helpfully(tmp_path, monkeypatch, capsys):
+    """cli.c:38-45: '--cu8-nrsc5' must explain presets, not just 'unrecognized'."""
+    import pytest
+
+    from iq_tool_tpu import cli
+    with pytest.raises(SystemExit):
+        cli.main(["-i", "raw-file", "-o", "raw", "--cu8-nrsc5"])
+    err = capsys.readouterr().err
+    assert "--preset cu8-nrsc5" in err
