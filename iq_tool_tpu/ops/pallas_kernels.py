@@ -255,6 +255,7 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
     g = a_r.shape[1]
     l = s + hist
     assert a_r.shape[0] == l, (a_r.shape, l)
+
     geom = plan(s, hist, g, nb, ch)
     if geom is None:
         raise ValueError(f"unsupported banded geometry s={s} hist={hist} "
