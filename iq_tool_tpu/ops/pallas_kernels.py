@@ -316,6 +316,8 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
         cost_estimate=pl.CostEstimate(
             flops=flops, transcendentals=0,
             bytes_accessed=4 * (2 * ch * (n + hist) + 2 * ch * nb * g)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(xr, xr, state_r, xi, xi, state_i, *mats)
     return yr.reshape(ch, nb * g), yi.reshape(ch, nb * g)
@@ -431,6 +433,8 @@ def dc_block_apply(xr: jnp.ndarray, xi: jnp.ndarray, state: jnp.ndarray,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * n * t * ch, transcendentals=0,
             bytes_accessed=4 * 4 * ch * n),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(xr, xi, state, jnp.asarray(m_t), jnp.asarray(d_vec))
     return yr, yi, st
