@@ -4,7 +4,12 @@ Builds the NRSC-5 chain, streams synthetic blocks through it, and shows
 the multi-channel + sharded variants.  Run: python examples/api_demo.py
 """
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from iq_tool_tpu.ops.fir_design import FilterRequest
 from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
