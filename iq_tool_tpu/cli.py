@@ -126,6 +126,9 @@ def build_parser() -> argparse.ArgumentParser:
     g = p.add_argument_group("Performance Options")
     g.add_argument("--block-size", type=int, default=C.DEFAULT_BLOCK_SIZE,
                    metavar="N", help="Device block size in frames")
+    g.add_argument("--pipeline-depth", type=int, default=C.PIPELINE_DEPTH,
+                   metavar="N", help="Device steps kept in flight before a "
+                   "readback (amortizes dispatch latency)")
     g.add_argument("--profile-dir", metavar="DIR",
                    help="Capture a jax.profiler trace of the run into DIR "
                         "(view with tensorboard/xprof)")
@@ -362,7 +365,8 @@ def main(argv=None) -> int:
                               checkpoint_path=args.checkpoint,
                               checkpoint_interval_sec=args.checkpoint_interval,
                               resume=args.resume,
-                              initial_carry=initial_carry)
+                              initial_carry=initial_carry,
+                              pipeline_depth=args.pipeline_depth)
         t0 = time.monotonic()
         if args.profile_dir:
             import jax

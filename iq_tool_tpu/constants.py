@@ -57,7 +57,6 @@ AGC_SEGMENT = 128                   # samples per gain-update segment on TPU
 RESAMP_SEMILENGTH = 12              # taps per output = 2*semilength
 RESAMP_FC_FACTOR = 0.90             # cutoff margin (fraction of min Nyquist)
 RESAMP_MAX_DENOM = 65536            # Farey limit when rationalizing ratios
-RESAMP_OUTPUT_TILE = 128            # banded-matmul output tile (MXU lane dim)
 RESAMP_STAGE_MAX = 512              # max p_i/q_i factor per cascade stage
 RESAMP_GROUP_CAP = 256              # cap on g*max(p,q): bounds stage matmul width
 
@@ -70,3 +69,4 @@ BACKPRESSURE_HIGH_WATER = 0.95      # constants.h:98
 # ---- SDR defaults ------------------------------------------------------------
 RTLSDR_DEFAULT_RATE = 2_400_000     # constants.h:200
 BANDED_STRIDE_CAP = 256             # FIR toeplitz-matmul output group width
+PIPELINE_DEPTH = 4                  # host<->device in-flight steps (runtime.py)

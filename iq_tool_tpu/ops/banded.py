@@ -80,14 +80,6 @@ def window_matmul_planar(win_r: jnp.ndarray, win_i: jnp.ndarray,
     return yr.reshape(ch, nb * g), yi.reshape(ch, nb * g)
 
 
-def window_matmul(win: jnp.ndarray, a_r: np.ndarray,
-                  a_i: np.ndarray | None = None) -> jnp.ndarray:
-    """(C, nb, L) complex windows @ (L, G) banded matrix -> (C, nb*G)
-    complex64 (planar variant above is the primary path)."""
-    yr, yi = window_matmul_planar(jnp.real(win), jnp.imag(win), a_r, a_i)
-    return jax.lax.complex(yr, yi).astype(jnp.complex64)
-
-
 def largest_divisor_leq(n: int, cap: int) -> int:
     """Largest divisor of n that is <= cap (>= 1)."""
     for d in range(min(cap, n), 0, -1):

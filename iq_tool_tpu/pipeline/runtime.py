@@ -3,14 +3,17 @@ drains it into an output module.
 
 Replaces the reference's thread pipeline + queues + rings (pipeline.c):
 JAX's async dispatch IS the pipeline — while the device runs block k, the
-host reads block k+1 from the source and writes block k-1 to the sink.
-EOS pads the final partial block and trims the output to exactly
+host reads ahead and keeps up to ``pipeline_depth`` device steps in
+flight before forcing a readback, so dispatch/readback latency (large on
+remote PJRT links) is amortized across the queue instead of paid per
+block.  EOS pads the final partial block and trims the output to exactly
 floor(valid_in * P/Q) frames; stream discontinuities set the step's reset
 flag (pipeline.c:458-464 semantics).
 """
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import time
 
@@ -44,7 +47,8 @@ class StreamEngine:
                  checkpoint_path: str | None = None,
                  checkpoint_interval_sec: float = 30.0,
                  resume: bool = False,
-                 initial_carry=None):
+                 initial_carry=None,
+                 pipeline_depth: int = C.PIPELINE_DEPTH):
         if chain is None and not raw_passthrough:
             raise ValueError("need a chain unless raw_passthrough")
         self.chain = chain
@@ -57,6 +61,7 @@ class StreamEngine:
         self.checkpoint_interval = checkpoint_interval_sec
         self.resume = resume
         self.initial_carry = initial_carry
+        self.pipeline_depth = max(1, pipeline_depth)
 
     # ---------------------------------------------------------------------
 
@@ -105,23 +110,23 @@ class StreamEngine:
         last_prog = t0
         last_ckpt = t0
 
-        pending = None            # (device array, frames_to_emit)
+        pending = collections.deque()   # (device array, frames_to_emit)
         buf = bytearray()
         pending_reset = False
         src = self.source.blocks(n_in)
         eos = False
 
-        def flush_pending():
-            nonlocal pending
-            if pending is None:
-                return
-            dev, emit = pending
-            pending = None
+        def flush_oldest():
+            dev, emit = pending.popleft()
             host = np.asarray(jax.device_get(dev))[0]
             payload = host[: emit * ch.fmt_out.items_per_frame].tobytes()
             self.sink.write(payload)
             s.frames_out += emit
             s.bytes_out += len(payload)
+
+        def flush_pending():
+            while pending:
+                flush_oldest()
 
         def process(chunk: bytes, valid_frames: int, reset: bool):
             nonlocal carry
@@ -134,11 +139,12 @@ class StreamEngine:
             allowed = ch.expected_out_frames(s.frames_in)
             emit = max(0, min(allowed - s.frames_out - _pending_frames(),
                               ch.n_out))
-            flush_pending()
-            return out, emit
+            pending.append((out, emit))
+            while len(pending) > self.pipeline_depth:
+                flush_oldest()
 
         def _pending_frames():
-            return pending[1] if pending else 0
+            return sum(e for _, e in pending)
 
         skip_bytes = skip_frames * bpf
 
@@ -172,16 +178,14 @@ class StreamEngine:
                 while len(buf) >= block_bytes:
                     chunk = bytes(buf[:block_bytes])
                     del buf[:block_bytes]
-                    out, emit = process(chunk, n_in, pending_reset)
+                    process(chunk, n_in, pending_reset)
                     pending_reset = False
-                    pending = (out, emit)
                     now = time.monotonic()
                     last_prog = self._progress_tick(s, t0, last_prog)
                     last_ckpt = maybe_checkpoint(now, last_ckpt)
                 if eos and buf:
                     valid = len(buf) // bpf
-                    out, emit = process(bytes(buf), valid, pending_reset)
-                    pending = (out, emit)
+                    process(bytes(buf), valid, pending_reset)
                     buf.clear()
             flush_pending()
         except KeyboardInterrupt:
