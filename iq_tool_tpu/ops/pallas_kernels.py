@@ -325,17 +325,22 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
 
 # ---------------------------- DC blocker kernel -------------------------------
 
-def _dc_kernel(xr_ref, xi_ref, st_ref, m_ref, d_ref,
-               outr_ref, outi_ref, stout_ref, carry,
-               *, cb, cell, t, a):
-    """Fused DC-block recurrence over one (cb, cell) tile.
+def _dc_kernel(xr_ref, xi_ref, st_ref, m_ref, d_ref, *rest,
+               cb, cell, t, a, with_iq, dtheta):
+    """Fused DC-block recurrence over one (cb, cell) tile, with optional
+    I/Q-imbalance apply and NCO mix postamble (saving two full HBM round
+    trips of the chain's pre-stage).
 
     y[n] = a*y[n-1] + x[n] - x[n-1] with closed-form in-subtile prefixes
-    via ONE triangular matmul (m_ref: M[i,j] = a^(i-j)), a sequential
-    fori_loop over the cell's sub-tiles for the carry, and a VMEM scratch
-    carrying (x_prev, y_prev) per plane across grid cells (the TPU grid
-    iterates the time dimension innermost, so scratch state flows in
-    stream order; cell 0 loads the stream carry from st_ref)."""
+    via ONE triangular matmul (m_ref: M[i,j] = a^(i-j)), a statically
+    unrolled loop over the cell's sub-tiles for the carry, and a VMEM
+    scratch carrying (x_prev, y_prev) per plane across grid cells (the
+    TPU grid iterates the time dimension innermost, so scratch state
+    flows in stream order; cell 0 loads the stream carry from st_ref)."""
+    rest = list(rest)
+    iqf_ref = rest.pop(0) if with_iq else None
+    ph_ref = rest.pop(0) if dtheta else None
+    outr_ref, outi_ref, stout_ref, carry, ybuf_r, ybuf_i = rest
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -348,7 +353,7 @@ def _dc_kernel(xr_ref, xi_ref, st_ref, m_ref, d_ref,
     lane0 = jax.lax.broadcasted_iota(jnp.int32, (cb, cell), 1) == 0
     af = jnp.float32(a)
 
-    def plane(x_ref, out_ref, pidx):
+    def plane(x_ref, ybuf, pidx):
         x = x_ref[...]
         x_prev = carry[:, pidx:pidx + 1]
         y_prev = carry[:, pidx + 2:pidx + 3]
@@ -365,28 +370,57 @@ def _dc_kernel(xr_ref, xi_ref, st_ref, m_ref, d_ref,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32).reshape(cb, n_t, t)
 
-        # static unroll: Mosaic cannot dynamic_slice VMEM *values*
+        # static unroll (Mosaic cannot dynamic_slice VMEM *values*),
+        # assembled through a VMEM scratch (Mosaic miscompiles wide
+        # lane concats of many pieces)
         yp = jnp.zeros((cb, 1), jnp.float32)
         for j in range(n_t):
             seg = y_loc[:, j, :] + yp * decay
-            out_ref[:, j * t:(j + 1) * t] = seg
+            ybuf[:, j * t:(j + 1) * t] = seg
             yp = seg[:, t - 1:t]
-        return x[:, cell - 1:cell], yp
+        return ybuf[...], x[:, cell - 1:cell], yp
 
-    xr_l, yr_l = plane(xr_ref, outr_ref, 0)
-    xi_l, yi_l = plane(xi_ref, outi_ref, 1)
+    yr, xr_l, yr_l = plane(xr_ref, ybuf_r, 0)
+    yi, xi_l, yi_l = plane(xi_ref, ybuf_i, 1)
     carry[:, 0:1] = xr_l
     carry[:, 1:2] = xi_l
     carry[:, 2:3] = yr_l
     carry[:, 3:4] = yi_l
     stout_ref[...] = carry[...]
 
+    if with_iq:
+        # SDR# correction I' = (1+g)I, Q' = Q + phi*I (iq_correct.c:307)
+        gf = iqf_ref[:, 0:1]
+        phi = iqf_ref[:, 1:2]
+        yr, yi = yr * (1.0 + gf), yi + phi * yr
+    if dtheta:
+        # NCO mix at the global sample index: wrapping int32 phase
+        # arithmetic == uint32 mod 2^32, and the SIGNED value maps to the
+        # same angle mod 2pi (Mosaic cannot cast uint32 -> f32)
+        idx = (jax.lax.broadcasted_iota(jnp.int32, (cb, cell), 1)
+               + jnp.int32(i * cell))
+        ph0 = pltpu.bitcast(ph_ref[...], jnp.int32)
+        dth_i32 = jnp.int32(np.int64(dtheta) - (1 << 32)
+                            if dtheta >= (1 << 31) else dtheta)
+        phases = ph0 + idx * dth_i32
+        ang = phases.astype(jnp.float32) * jnp.float32(
+            2.0 * np.pi / 4294967296.0)
+        c, s_ = jnp.cos(ang), jnp.sin(ang)
+        yr, yi = yr * c - yi * s_, yr * s_ + yi * c
+    outr_ref[...] = yr
+    outi_ref[...] = yi
+
 
 def dc_block_apply(xr: jnp.ndarray, xi: jnp.ndarray, state: jnp.ndarray,
-                   alpha: float, interpret: bool = False):
-    """Planar DC blocker: x*: (C, N); state: (C, 4) f32 rows
-    [xr_prev, xi_prev, yr_prev, yi_prev].  Returns (yr, yi, new_state).
-    Returns None when the geometry cannot lower (caller falls back)."""
+                   alpha: float, iq_factors=None, phase_acc=None,
+                   dtheta: int = 0, interpret: bool = False):
+    """Planar DC blocker with optional fused I/Q apply + NCO mix.
+
+    x*: (C, N); state: (C, 4) f32 rows [xr_prev, xi_prev, yr_prev,
+    yi_prev]; iq_factors: (C, 2) f32 [gain, phase] or None; phase_acc:
+    (C, 1) uint32 (required when dtheta != 0).  Returns
+    (yr, yi, new_state).  Returns None when the geometry cannot lower
+    (caller falls back)."""
     ch, n = xr.shape
     a = float(1.0 - alpha)
     t = 128
@@ -411,12 +445,25 @@ def dc_block_apply(xr: jnp.ndarray, xi: jnp.ndarray, state: jnp.ndarray,
     m_t = np.ascontiguousarray(m.T.astype(np.float32))
     d_vec = (np.float64(a) ** np.arange(1, t + 1)).astype(np.float32)[None, :]
 
+    with_iq = iq_factors is not None
+    dtheta = int(dtheta) & 0xFFFFFFFF
     grid = (ch // cb, n // cell)
-    kern = functools.partial(_dc_kernel, cb=cb, cell=cell, t=t, a=a)
+    kern = functools.partial(_dc_kernel, cb=cb, cell=cell, t=t, a=a,
+                             with_iq=with_iq, dtheta=dtheta)
     x_spec = pl.BlockSpec((cb, cell), lambda c, i: (c, i),
                           memory_space=pltpu.VMEM)
     st_spec = pl.BlockSpec((cb, 4), lambda c, i: (c, 0),
                            memory_space=pltpu.VMEM)
+    extra_in = []
+    extra_specs = []
+    if with_iq:
+        extra_in.append(iq_factors)
+        extra_specs.append(pl.BlockSpec((cb, 2), lambda c, i: (c, 0),
+                                        memory_space=pltpu.VMEM))
+    if dtheta:
+        extra_in.append(phase_acc)
+        extra_specs.append(pl.BlockSpec((cb, 1), lambda c, i: (c, 0),
+                                        memory_space=pltpu.VMEM))
     yr, yi, st = pl.pallas_call(
         kern,
         grid=grid,
@@ -424,17 +471,21 @@ def dc_block_apply(xr: jnp.ndarray, xi: jnp.ndarray, state: jnp.ndarray,
                   pl.BlockSpec((t, t), lambda c, i: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, t), lambda c, i: (0, 0),
-                               memory_space=pltpu.VMEM)],
+                               memory_space=pltpu.VMEM),
+                  *extra_specs],
         out_specs=(x_spec, x_spec, st_spec),
         out_shape=(jax.ShapeDtypeStruct((ch, n), jnp.float32),
                    jax.ShapeDtypeStruct((ch, n), jnp.float32),
                    jax.ShapeDtypeStruct((ch, 4), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((cb, 4), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((cb, 4), jnp.float32),
+                        pltpu.VMEM((cb, cell), jnp.float32),
+                        pltpu.VMEM((cb, cell), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * n * t * ch, transcendentals=0,
+            flops=2 * 2 * n * t * ch,
+            transcendentals=(2 * n * ch if dtheta else 0),
             bytes_accessed=4 * 4 * ch * n),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(xr, xi, state, jnp.asarray(m_t), jnp.asarray(d_vec))
+    )(xr, xi, state, jnp.asarray(m_t), jnp.asarray(d_vec), *extra_in)
     return yr, yi, st

@@ -211,6 +211,48 @@ class Chain:
 
     # ------------------------------ step --------------------------------------
 
+    def _fused_pre(self, xr, xi, carry: dict, new: dict):
+        """DC block + I/Q apply + pre-NCO as ONE Pallas kernel pass on TPU
+        (saves two full HBM round trips).  Returns (xr, xi) or None when
+        the kernel is unavailable (CPU, odd geometry) — caller falls back
+        to the separate ops.  The I/Q estimator taps the DC'd pre-apply
+        signal, so its IQ_FFT_SIZE-sample window is recomputed in XLA
+        (prefix of the same recurrence, negligible cost)."""
+        from iq_tool_tpu.ops import banded, pallas_kernels
+        cfg = self.cfg
+        if not banded._on_tpu():
+            return None
+        st = carry["dc"]
+        iqf = None
+        if cfg.iq_correction:
+            m = min(xr.shape[-1], C.IQ_FFT_SIZE)
+            seg_r, _, _ = dc_block._apply_plane(
+                xr[:, :m], st.xr_prev, st.yr_prev, self.dc_alpha)
+            seg_i, _, _ = dc_block._apply_plane(
+                xi[:, :m], st.xi_prev, st.yi_prev, self.dc_alpha)
+            new["iq"] = iq_balance.maybe_update_planar(
+                seg_r, seg_i, carry["iq"], self.iq_interval,
+                advance_samples=xr.shape[-1])
+            iqf = new["iq"].factors
+        dth = int(self.dtheta_pre)
+        pacc = carry["nco_pre"][:, None] if dth else None
+        st4 = jnp.stack([st.xr_prev, st.xi_prev,
+                         st.yr_prev, st.yi_prev], axis=-1)
+        res = pallas_kernels.dc_block_apply(
+            xr, xi, st4, self.dc_alpha, iqf, pacc, dth)
+        if res is None:
+            if cfg.iq_correction:
+                del new["iq"]     # recomputed by the fallback path
+            return None
+        yr, yi, st4n = res
+        new["dc"] = dc_block.PlanarDcState(
+            st4n[:, 0], st4n[:, 1], st4n[:, 2], st4n[:, 3])
+        if dth:
+            new["nco_pre"] = (carry["nco_pre"]
+                              + jnp.uint32(xr.shape[-1])
+                              * jnp.uint32(dth))
+        return yr, yi
+
     def _step(self, carry: dict, raw: jnp.ndarray, reset: jnp.ndarray):
         """raw: (C, n_in * items) wire array -> (carry, (C, n_out * items)).
 
@@ -222,16 +264,21 @@ class Chain:
         new = dict(carry)
 
         xr, xi = convert.to_planar(raw, self.fmt_in, cfg.gain)
-        if cfg.dc_block:
-            xr, xi, new["dc"] = dc_block.apply_planar(
-                xr, xi, carry["dc"], self.dc_alpha)
-        if cfg.iq_correction:
-            new["iq"] = iq_balance.maybe_update_planar(
-                xr, xi, carry["iq"], self.iq_interval)
-            xr, xi = iq_balance.apply_planar(xr, xi, new["iq"].factors)
-        if int(self.dtheta_pre) != 0:
-            xr, xi, new["nco_pre"] = nco.apply_planar(
-                xr, xi, carry["nco_pre"], self.dtheta_pre)
+        fused = (self._fused_pre(xr, xi, carry, new)
+                 if cfg.dc_block else None)
+        if fused is not None:
+            xr, xi = fused
+        else:
+            if cfg.dc_block:
+                xr, xi, new["dc"] = dc_block.apply_planar(
+                    xr, xi, carry["dc"], self.dc_alpha)
+            if cfg.iq_correction:
+                new["iq"] = iq_balance.maybe_update_planar(
+                    xr, xi, carry["iq"], self.iq_interval)
+                xr, xi = iq_balance.apply_planar(xr, xi, new["iq"].factors)
+            if int(self.dtheta_pre) != 0:
+                xr, xi, new["nco_pre"] = nco.apply_planar(
+                    xr, xi, carry["nco_pre"], self.dtheta_pre)
         if self.pre_filter:
             xr, xi, nr, ni = self.pre_filter.apply_planar(
                 xr, xi, *carry["pre_f"])

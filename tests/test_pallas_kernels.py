@@ -107,3 +107,33 @@ def test_dc_block_pallas_matches_xla(rng):
         xr[:, h:], xi[:, h:], np.asarray(s1), alpha, interpret=True)
     np.testing.assert_allclose(np.concatenate([y1r, y2r], -1),
                                np.asarray(yr), rtol=1e-4, atol=1e-4)
+
+
+def test_dc_fused_iq_nco_postamble(rng):
+    """dc_block_apply with fused I/Q + NCO equals the separate planar ops."""
+    from iq_tool_tpu.ops import dc_block as dcb
+    from iq_tool_tpu.ops import iq_balance, nco
+    ch, n = 8, 1024
+    alpha = dcb.alpha_for_rate(2_048_000.0)
+    xr = rng.standard_normal((ch, n)).astype(np.float32)
+    xi = rng.standard_normal((ch, n)).astype(np.float32)
+    st4 = rng.standard_normal((ch, 4)).astype(np.float32)
+    factors = (rng.standard_normal((ch, 2)) * 0.01).astype(np.float32)
+    dtheta = int(nco.freq_to_dtheta(100e3, 2_048_000.0))
+    acc = rng.integers(0, 2**32, (ch, 1), dtype=np.uint32)
+
+    # reference: separate ops
+    st = dcb.PlanarDcState(st4[:, 0], st4[:, 1], st4[:, 2], st4[:, 3])
+    rr, _, _ = dcb._apply_plane(xr, st.xr_prev, st.yr_prev, alpha)
+    ri, _, _ = dcb._apply_plane(xi, st.xi_prev, st.yi_prev, alpha)
+    rr, ri = iq_balance.apply_planar(rr, ri, factors)
+    rr, ri, _ = nco.apply_planar(rr, ri, acc[:, 0], np.uint32(dtheta))
+
+    out = pallas_kernels.dc_block_apply(xr, xi, st4, alpha, factors, acc,
+                                        dtheta, interpret=True)
+    assert out is not None
+    yr, yi, _ = out
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(rr),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(yi), np.asarray(ri),
+                               rtol=1e-4, atol=1e-4)
