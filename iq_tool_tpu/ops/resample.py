@@ -139,9 +139,17 @@ class _MatmulStage:
         nb_total = n_in // q
         g = 1
         cap = max(1, group_cap // max(p, q))
-        for d in range(cap, 0, -1):
-            if nb_total % d == 0:
-                g = d
+        # prefer group sizes whose stride g*q is lane-aligned: the Pallas
+        # banded kernel needs 128-lane tiles (16-aligned strides compose
+        # with div-8 window tiles), so alignment widens kernel coverage
+        for align in (128, 16, 1):
+            found = 0
+            for d in range(cap, 0, -1):
+                if nb_total % d == 0 and (d * q) % align == 0:
+                    found = d
+                    break
+            if found:
+                g = found
                 break
         m = max(semilength, int(np.ceil(semilength * q / (2.0 * p))))
         plan = _make_arb_plan(p, q, g * q, atten_db, m)
