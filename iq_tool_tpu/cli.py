@@ -239,12 +239,14 @@ _NUM_RE = None
 
 
 def _fix_negative_numbers(argv: list[str]) -> list[str]:
-    """argparse rejects '--freq-shift -50e3' (a '-50e3' token looks like an
-    option).  Merge numeric values into '--opt=value' form."""
+    """argparse rejects '--freq-shift -50e3' and '--stopband -5e3:5e3'
+    (a leading '-' looks like an option).  Merge numeric and LO:HI range
+    values into '--opt=value' form."""
     global _NUM_RE
     import re
     if _NUM_RE is None:
-        _NUM_RE = re.compile(r"^-\d+(\.\d*)?([eE][+-]?\d+)?$")
+        num = r"[+-]?\d+(\.\d*)?([eE][+-]?\d+)?"
+        _NUM_RE = re.compile(rf"^-\d+(\.\d*)?([eE][+-]?\d+)?(:{num})?$")
     out = []
     i = 0
     while i < len(argv):

@@ -11,14 +11,17 @@ Two reasons this exists instead of ``jnp.fft``:
    required for TPU execution.
 
 Supports power-of-two sizes, complex64, any leading batch dims, with
-recursion for very large N.  Accuracy ~1e-6 relative (f32 accumulate),
-about -110 dB — well inside the chain's 60 dB contract.
+recursion for very large N.  All DFT matmuls run at ``Precision.HIGH``
+(3-pass bf16 ~= f32): TPU's DEFAULT single-pass bf16 matmul is ~2e-3
+relative (~47 dB), below the chain's 60 dB contract; HIGH restores
+~1e-6 (-110 dB).
 """
 
 from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,20 +58,23 @@ def fft(x: jnp.ndarray) -> jnp.ndarray:
     if n == 1:
         return x
     if n <= _MAX_DENSE:
-        return jnp.matmul(x, jnp.asarray(_dft_matrix(n).T))
+        return jnp.matmul(x, jnp.asarray(_dft_matrix(n).T),
+                          precision=jax.lax.Precision.HIGH)
 
     n1, n2 = _split(n)
     batch = x.shape[:-1]
     v = x.reshape(*batch, n1, n2)
     # FFT along n1 (columns): Y[k1, n2] = sum_n1 F1[k1, n1] * v[n1, n2]
     if n1 <= _MAX_DENSE:
-        y = jnp.einsum("kn,...nm->...km", jnp.asarray(_dft_matrix(n1)), v)
+        y = jnp.einsum("kn,...nm->...km", jnp.asarray(_dft_matrix(n1)), v,
+                       precision=jax.lax.Precision.HIGH)
     else:
         y = jnp.moveaxis(fft(jnp.moveaxis(v, -2, -1)), -1, -2)
     y = y * jnp.asarray(_twiddle(n1, n2))
     # FFT along n2 (rows)
     if n2 <= _MAX_DENSE:
-        z = jnp.matmul(y, jnp.asarray(_dft_matrix(n2).T))
+        z = jnp.matmul(y, jnp.asarray(_dft_matrix(n2).T),
+                       precision=jax.lax.Precision.HIGH)
     else:
         z = fft(y)
     # X[k1 + k2*n1] = Z[k1, k2]

@@ -253,3 +253,11 @@ def test_preset_name_as_flag_errors_helpfully(tmp_path, monkeypatch, capsys):
         cli.main(["-i", "raw-file", "-o", "raw", "--cu8-nrsc5"])
     err = capsys.readouterr().err
     assert "--preset cu8-nrsc5" in err
+
+
+def test_negative_range_values_merge():
+    from iq_tool_tpu.cli import _fix_negative_numbers
+    out = _fix_negative_numbers(
+        ["--freq-shift", "-50e3", "--stopband-2", "-5e3:5e3", "--lowpass", "1e5"])
+    assert out == ["--freq-shift=-50e3", "--stopband-2=-5e3:5e3",
+                   "--lowpass", "1e5"]
