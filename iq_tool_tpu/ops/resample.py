@@ -242,7 +242,8 @@ class _ArbStage:
         ext = jnp.concatenate([state, x], axis=-1)
         windows = ext[:, self._idx]                        # (C, M, K)
         w = jnp.asarray(self._wr)
-        y = jnp.einsum("cmk,mk->cm", windows, w)
+        y = jnp.einsum("cmk,mk->cm", windows, w,
+                       precision=jax.lax.Precision.HIGH)
         return y, ext[:, -self.plan.history:]
 
     def apply_planar(self, xr, xi, state_r, state_i):
