@@ -1,0 +1,152 @@
+"""On-hardware smoke/regression suite (run on a real TPU backend).
+
+The pytest suite runs on CPU (tests/conftest.py forces an 8-device
+virtual mesh), which cannot catch TPU-only failure modes: Mosaic
+lowering gaps, default-precision bf16 matmuls (see the ops/fft.py fix),
+unsupported dtype transfers.  This script drives the real surfaces on
+the chip and checks numerics.  Usage:
+
+    python tools/tpu_smoke.py [--quick]
+
+Each check prints PASS/FAIL; exit code 0 iff all pass.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+RATE_IN, RATE_OUT = 2_048_000.0, 1_488_375.0
+RESULTS: list[tuple[str, bool, str]] = []
+
+
+def check(name: str, ok: bool, detail: str = "") -> None:
+    RESULTS.append((name, bool(ok), detail))
+    print(f"{'PASS' if ok else 'FAIL'}  {name}  {detail}", flush=True)
+
+
+def tone_file(path: str, n: int, fmt: str = "cs16", f_hz: float = 100e3) -> None:
+    import jax
+
+    from iq_tool_tpu.ops import convert
+    t = np.arange(n) / RATE_IN
+    x = 0.5 * np.exp(2j * np.pi * f_hz * t).astype(np.complex64)
+    wire = np.asarray(jax.jit(
+        lambda r, i: convert.from_planar(r, i, fmt))(
+            np.real(x)[None], np.imag(x)[None]))[0]
+    wire.tofile(path)
+
+
+def out_snr(path: str, fmt: str, rate: float, skip: int = 20000):
+    import jax
+
+    from iq_tool_tpu.ops import convert
+    raw = np.fromfile(path, convert.wire_dtype(fmt))
+    zr, zi = jax.jit(lambda v: convert.to_planar(v, fmt))(raw[None])
+    z = (np.asarray(zr)[0] + 1j * np.asarray(zi)[0])[skip:-4096 or None]
+    w = np.hanning(len(z))
+    p = np.abs(np.fft.fftshift(np.fft.fft(z * w))) ** 2
+    f = np.fft.fftshift(np.fft.fftfreq(len(z), 1 / rate))
+    k = int(np.argmax(p))
+    sig = p[max(0, k - 200):k + 200].sum()
+    return f[k], 10 * np.log10(sig / max(p.sum() - sig, 1e-30))
+
+
+def run_cli(args: list[str]) -> int:
+    return subprocess.run(
+        [sys.executable, "-m", "iq_tool_tpu", *args],
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        capture_output=True, text=True, timeout=560).returncode
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="flagship config only (skip the format sweep)")
+    opts = ap.parse_args()
+
+    import jax
+    check("backend is not cpu", jax.default_backend() != "cpu",
+          jax.default_backend())
+
+    tmp = tempfile.mkdtemp(prefix="iq_smoke_")
+    src = os.path.join(tmp, "tone.raw")
+    tone_file(src, 1 << 18)
+
+    # flagship chain: dc + shift + resample + lowpass
+    dst = os.path.join(tmp, "out.raw")
+    rc = run_cli([src, dst, "--input", "raw-file", "--output", "raw",
+                  "--raw-file-input-rate", str(int(RATE_IN)),
+                  "--raw-file-input-sample-format", "cs16",
+                  "--output-rate", str(RATE_OUT),
+                  "--output-sample-format", "cs16",
+                  "--dc-block", "--freq-shift", "-50e3",
+                  "--lowpass", "400000", "--force-overwrite"])
+    ok = rc == 0
+    if ok:
+        peak, snr = out_snr(dst, "cs16", RATE_OUT)
+        ok = abs(peak - 50e3) < 100 and snr > 60
+        check("flagship chain (dc+shift+resample+lowpass)", ok,
+              f"peak {peak/1e3:.1f} kHz snr {snr:.1f} dB")
+    else:
+        check("flagship chain (dc+shift+resample+lowpass)", False,
+              f"cli rc={rc}")
+
+    # config #4: iq + pass-range + notch + AGC (exercises the FFT filter
+    # path and the complex-tap machinery — this caught the DEFAULT-
+    # precision matmul-FFT bug)
+    dst4 = os.path.join(tmp, "out4.raw")
+    rc = run_cli([src, dst4, "--input", "raw-file", "--output", "raw",
+                  "--raw-file-input-rate", str(int(RATE_IN)),
+                  "--raw-file-input-sample-format", "cs16",
+                  "--output-rate", str(RATE_OUT),
+                  "--output-sample-format", "cs16",
+                  "--dc-block", "--iq-correction", "--freq-shift", "-50e3",
+                  "--pass-range", "20e3:120e3", "--stopband-2", "-5e3:5e3",
+                  "--output-agc", "--agc-profile", "digital",
+                  "--force-overwrite"])
+    ok = rc == 0
+    if ok:
+        peak, snr = out_snr(dst4, "cs16", RATE_OUT, skip=60000)
+        ok = abs(peak - 50e3) < 100 and snr > 60
+        check("full chain (iq+pass-range+notch+AGC)", ok,
+              f"peak {peak/1e3:.1f} kHz snr {snr:.1f} dB")
+    else:
+        check("full chain (iq+pass-range+notch+AGC)", False, f"cli rc={rc}")
+
+    if not opts.quick:
+        from iq_tool_tpu.formats import complex_formats
+        floors = {"cu8": 38.0, "cs8": 38.0, "sc16q11": 60.0}
+        for fmt in complex_formats():
+            fsrc = os.path.join(tmp, f"tone_{fmt}.raw")
+            fdst = os.path.join(tmp, f"out_{fmt}.raw")
+            tone_file(fsrc, 1 << 18, fmt)
+            rc = run_cli([fsrc, fdst, "--input", "raw-file", "--output", "raw",
+                          "--raw-file-input-rate", str(int(RATE_IN)),
+                          "--raw-file-input-sample-format", fmt,
+                          "--output-rate", str(RATE_OUT),
+                          "--output-sample-format", fmt,
+                          "--lowpass", "400000", "--force-overwrite"])
+            if rc:
+                check(f"format {fmt}", False, f"cli rc={rc}")
+                continue
+            peak, snr = out_snr(fdst, fmt, RATE_OUT)
+            floor = floors.get(fmt, 65.0)
+            check(f"format {fmt}", abs(peak - 100e3) < 100 and snr > floor,
+                  f"snr {snr:.1f} dB (floor {floor})")
+
+    failed = [n for n, ok, _ in RESULTS if not ok]
+    print(f"\n{len(RESULTS) - len(failed)}/{len(RESULTS)} passed"
+          + (f"; FAILED: {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
