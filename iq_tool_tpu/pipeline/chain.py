@@ -27,7 +27,6 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from iq_tool_tpu import constants as C
 from iq_tool_tpu.formats import get_format
