@@ -164,6 +164,55 @@ class _MatmulStage:
         self.hist = plan.history
         self.n_out_per_group = G
         self._a = a
+        self._a_i = None          # imaginary part when an FIR was composed
+
+    # --------------------- design-time operator fusion -----------------------
+    # An FIR before/after the stage is also LTI, so it folds into the banded
+    # matrix at DESIGN time: one fewer device pass, one fewer halo exchange
+    # on the time-sharded mesh, zero runtime cost.
+
+    def compose_input_fir(self, taps: np.ndarray) -> None:
+        """Absorb y = stage(fir(x)): convolve A's rows with the taps
+        (input-side convolution extends the window left by K-1)."""
+        k = len(taps)
+        l_old, g = self._a.shape
+        parts = [self._a, self._a_i if self._a_i is not None
+                 else np.zeros_like(self._a)]
+        outs = []
+        for a in parts:
+            a_c = np.zeros((l_old + k - 1, g), np.complex128)
+            for j in range(k):
+                a_c[k - 1 - j:k - 1 - j + l_old, :] += taps[j] * a
+            outs.append(a_c)
+        a_new = outs[0] + 1j * outs[1]
+        self.hist += k - 1
+        self._a = np.ascontiguousarray(a_new.real.astype(np.float32))
+        self._a_i = (np.ascontiguousarray(a_new.imag.astype(np.float32))
+                     if np.abs(a_new.imag).max() > 0 else None)
+
+    def compose_output_fir(self, taps: np.ndarray) -> None:
+        """Absorb z = fir(stage(x)): z[bG+i] = sum_j h[j] y[bG+i-j], which
+        reaches ceil((K-1)/G) groups back — extend the window left by that
+        many strides and accumulate shifted copies of A's columns."""
+        k = len(taps)
+        l_old, gg = self._a.shape
+        s = self.stride
+        kb = -(-(k - 1) // gg)
+        ext = kb * s
+        a_old = (self._a.astype(np.complex128)
+                 + (1j * self._a_i if self._a_i is not None else 0))
+        a_c = np.zeros((l_old + ext, gg), np.complex128)
+        for j in range(k):
+            for i in range(gg):
+                d, r = divmod(i - j, gg)       # d <= 0: groups back
+                # coeff row t maps x[bS + t - hist_c]; source row
+                # t' = t - ext + (-d)*S must be in [0, l_old)
+                off = ext + d * s
+                a_c[off:off + l_old, i] += taps[j] * a_old[:, r]
+        self.hist += ext
+        self._a = np.ascontiguousarray(a_c.real.astype(np.float32))
+        self._a_i = (np.ascontiguousarray(a_c.imag.astype(np.float32))
+                     if np.abs(a_c.imag).max() > 0 else None)
 
     def init(self, channels: int) -> jnp.ndarray:
         return jnp.zeros((channels, self.hist), jnp.complex64)
@@ -174,7 +223,7 @@ class _MatmulStage:
 
     def apply_planar(self, xr, xi, state_r, state_i):
         yr, yi = banded.apply_planar(state_r, state_i, xr, xi, self._a,
-                                     None, self.stride, self.hist)
+                                     self._a_i, self.stride, self.hist)
         return (yr, yi, banded.new_tail(state_r, xr, self.hist),
                 banded.new_tail(state_i, xi, self.hist))
 

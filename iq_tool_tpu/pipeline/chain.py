@@ -27,6 +27,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from iq_tool_tpu import constants as C
 from iq_tool_tpu.formats import get_format
@@ -61,6 +62,7 @@ class ChainConfig:
     agc_target: float | None = None
     target_block: int = C.DEFAULT_BLOCK_SIZE
     resampler_semilength: int = C.RESAMP_SEMILENGTH
+    fuse_filters: bool = True              # fold direct FIRs into resampler stages
 
     @property
     def resampling(self) -> bool:
@@ -142,6 +144,26 @@ class Chain:
         self.resampler = rs
         self.n_in = n_in
         self.n_out = n_out
+
+        # Design-time operator fusion: a direct-FIR user filter adjacent
+        # to a matmul resampler stage is LTI, so it folds into that
+        # stage's banded matrix — one fewer device pass and one fewer
+        # halo exchange per step, at identical (composed) numerics.
+        from iq_tool_tpu.ops.resample import _MatmulStage
+        if (cfg.fuse_filters and rs is not None and rs.stages
+                and isinstance(rs.stages[0], _MatmulStage)
+                and self.pre_filter is not None
+                and self.pre_filter.method == "fir"):
+            rs.stages[0].compose_input_fir(
+                np.asarray(self.pre_filter.taps, np.complex128))
+            self.pre_filter = None
+        if (cfg.fuse_filters and rs is not None and rs.stages
+                and isinstance(rs.stages[-1], _MatmulStage)
+                and self.post_filter is not None
+                and self.post_filter.method == "fir"):
+            rs.stages[-1].compose_output_fir(
+                np.asarray(self.post_filter.taps, np.complex128))
+            self.post_filter = None
 
         self.dc_alpha = dc_block.alpha_for_rate(cfg.input_rate)
         self.dtheta_pre = nco.freq_to_dtheta(cfg.freq_shift_pre_hz, cfg.input_rate)

@@ -128,3 +128,39 @@ def test_expected_out_frames():
     ch = Chain(cfg)
     assert ch.expected_out_frames(16384) == 11907
     assert ch.expected_out_frames(16384 * 3 + 1000) == (16384 * 3 + 1000) * 11907 // 16384
+
+
+def test_filter_fusion_matches_sequential(rng):
+    """Folding the FIR into the resampler stage == running them apart."""
+    base = dict(input_format="cs16", output_format="cf32",
+                input_rate=2_048_000.0, target_rate=1_488_375.0,
+                freq_shift_pre_hz=100e3,
+                filters=(FilterRequest("lowpass", 400e3),),
+                filter_method="fir", target_block=8192)
+    fused = Chain(ChainConfig(**base))
+    plain = Chain(ChainConfig(**base, fuse_filters=False))
+    assert fused.post_filter is None and plain.post_filter is not None
+    raw = rng.integers(-2**15, 2**15, (1, fused.in_wire_len), np.int16)
+    cf, cp = fused.init_carry(), plain.init_carry()
+    for _ in range(3):
+        cf, of = fused.step(cf, raw, np.False_)
+        cp, op = plain.step(cp, raw, np.False_)
+    np.testing.assert_allclose(np.asarray(of), np.asarray(op),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_prefilter_fusion_matches_sequential(rng):
+    base = dict(input_format="cs16", output_format="cf32",
+                input_rate=2_048_000.0, target_rate=1_536_000.0,
+                filters=(FilterRequest("highpass", 600e3),),
+                filter_method="fir", filter_stage="pre", target_block=8192)
+    fused = Chain(ChainConfig(**base))
+    plain = Chain(ChainConfig(**base, fuse_filters=False))
+    assert fused.pre_filter is None and plain.pre_filter is not None
+    raw = rng.integers(-2**15, 2**15, (1, fused.in_wire_len), np.int16)
+    cf, cp = fused.init_carry(), plain.init_carry()
+    for _ in range(3):
+        cf, of = fused.step(cf, raw, np.False_)
+        cp, op = plain.step(cp, raw, np.False_)
+    np.testing.assert_allclose(np.asarray(of), np.asarray(op),
+                               rtol=1e-4, atol=1e-4)
