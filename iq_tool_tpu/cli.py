@@ -13,6 +13,7 @@ module's contributions, so --help shows exactly what this build supports
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -27,6 +28,19 @@ from iq_tool_tpu.pipeline.runtime import StreamEngine
 from iq_tool_tpu.presets import load_presets
 
 
+def _git_hash() -> str:
+    """Short commit hash, like the reference's GIT_HASH build define
+    (CMakeLists.txt:698-716, cli.c:69-73); 'unknown' outside a checkout."""
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=2).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="iq_tool_tpu",
@@ -36,7 +50,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("input_file", nargs="?", help="Input file (file sources)")
     p.add_argument("output_file", nargs="?", help="Output file (file sinks)")
     p.add_argument("--version", action="version",
-                   version=f"iq_tool_tpu {__version__}")
+                   version=f"iq_tool_tpu {__version__} ({_git_hash()})")
 
     g = p.add_argument_group("Required Input & Output")
     g.add_argument("-i", "--input", required=True, metavar="TYPE",
