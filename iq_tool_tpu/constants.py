@@ -70,3 +70,4 @@ BACKPRESSURE_HIGH_WATER = 0.95      # constants.h:98
 RTLSDR_DEFAULT_RATE = 2_400_000     # constants.h:200
 BANDED_STRIDE_CAP = 256             # FIR toeplitz-matmul output group width
 PIPELINE_DEPTH = 4                  # host<->device in-flight steps (runtime.py)
+FUSE_MAX_TAPS = 256                 # FIR->resampler fusion cap (chain.py)

@@ -179,6 +179,14 @@ class WavWriter:
         self._f = open(path_or_file, "wb") if self._own else path_or_file
         self._write_header()
 
+    def truncate_data(self, data_bytes: int) -> None:
+        """Resume reconciliation: cut the data chunk back to data_bytes
+        (sizes re-patched at finalize)."""
+        if data_bytes < self.data_bytes:
+            self._f.truncate(self._data_start + data_bytes)
+            self.data_bytes = data_bytes
+        self._f.seek(self._data_start + self.data_bytes)
+
     def _write_header(self) -> None:
         f = self._f
         fmt_body = struct.pack("<HHIIHH", _FMT_PCM, 2, self.sample_rate,

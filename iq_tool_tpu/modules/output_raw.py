@@ -56,6 +56,14 @@ class RawFileOutput(OutputModule):
         fd = os.open(self._path, flags, 0o644)
         self._f = os.fdopen(fd, "wb", buffering=1 << 20)
 
+    def truncate_to_frames(self, frames: int, bytes_per_frame: int) -> None:
+        """Resume reconciliation: drop output written after the last
+        checkpoint so the stream continues sample-exactly."""
+        want = frames * bytes_per_frame
+        self._f.flush()
+        if os.path.getsize(self._path) > want:
+            os.ftruncate(self._f.fileno(), want)
+
     def write(self, payload: bytes) -> None:
         self._f.write(payload)
         self.bytes_written += len(payload)

@@ -40,6 +40,9 @@ class _WavOutputBase(OutputModule):
                             config.output_format, container=self.container,
                             append=resume)
 
+    def truncate_to_frames(self, frames: int, bytes_per_frame: int) -> None:
+        self._w.truncate_data(frames * bytes_per_frame)
+
     def write(self, payload: bytes) -> None:
         self._w.write(payload)
         self.bytes_written += len(payload)

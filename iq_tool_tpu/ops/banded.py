@@ -91,8 +91,10 @@ def largest_divisor_leq(n: int, cap: int) -> int:
 # ------------------------------ dispatcher ------------------------------------
 
 def _on_tpu() -> bool:
+    """Gate for the Mosaic (TPU-only) kernels — other accelerators must
+    take the XLA path, not crash at pallas lowering."""
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
 

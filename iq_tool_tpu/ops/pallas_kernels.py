@@ -63,6 +63,11 @@ def plan(stride: int, hist: int, g: int, nb: int, ch: int):
     """
     if hist <= 0 or nb <= 0:
         return None
+    # window assembly concatenates ceil(l/s) lane pieces; keep it to the
+    # well-tested 2-piece regime (Mosaic miscompiles wide multi-piece lane
+    # concats — see the DC kernel's VMEM-scratch workaround)
+    if hist > stride:
+        return None
     cb = 8 if ch % 8 == 0 else ch
     l = stride + hist
     # 'shift' trades lane-granular window assembly for a second matmul of
@@ -304,7 +309,12 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
 
     out_spec = pl.BlockSpec((cb, tb, g), lambda c, i: (c, i, 0),
                             memory_space=pltpu.VMEM)
-    flops = 2 * 2 * nb * l * g * ch * (2 if len(mats) == 2 else 1)
+    # logical matmuls actually issued (both planes), times contraction depth
+    if mode == "shift":
+        n_mm, depth = (8 if complex_taps else 4), s
+    else:
+        n_mm, depth = (4 if complex_taps else 2), l
+    flops = 2 * n_mm * nb * depth * g * ch
     yr, yi = pl.pallas_call(
         kern,
         grid=grid,

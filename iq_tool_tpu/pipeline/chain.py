@@ -35,7 +35,7 @@ from iq_tool_tpu.ops import agc as agc_ops
 from iq_tool_tpu.ops import convert, dc_block, iq_balance, nco
 from iq_tool_tpu.ops.filters import StreamingFilter
 from iq_tool_tpu.ops.fir_design import FilterRequest, design_chain, max_filter_freq_hz
-from iq_tool_tpu.ops.resample import Resampler
+from iq_tool_tpu.ops.resample import Resampler, _MatmulStage
 
 
 @dataclasses.dataclass(frozen=True)
@@ -149,18 +149,19 @@ class Chain:
         # to a matmul resampler stage is LTI, so it folds into that
         # stage's banded matrix — one fewer device pass and one fewer
         # halo exchange per step, at identical (composed) numerics.
-        from iq_tool_tpu.ops.resample import _MatmulStage
         if (cfg.fuse_filters and rs is not None and rs.stages
                 and isinstance(rs.stages[0], _MatmulStage)
                 and self.pre_filter is not None
-                and self.pre_filter.method == "fir"):
+                and self.pre_filter.method == "fir"
+                and self.pre_filter.num_taps <= C.FUSE_MAX_TAPS):
             rs.stages[0].compose_input_fir(
                 np.asarray(self.pre_filter.taps, np.complex128))
             self.pre_filter = None
         if (cfg.fuse_filters and rs is not None and rs.stages
                 and isinstance(rs.stages[-1], _MatmulStage)
                 and self.post_filter is not None
-                and self.post_filter.method == "fir"):
+                and self.post_filter.method == "fir"
+                and self.post_filter.num_taps <= C.FUSE_MAX_TAPS):
             rs.stages[-1].compose_output_fir(
                 np.asarray(self.post_filter.taps, np.complex128))
             self.post_filter = None

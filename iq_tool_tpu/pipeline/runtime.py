@@ -88,6 +88,11 @@ class StreamEngine:
         n_in = ch.n_in
         block_bytes = n_in * bpf
 
+        if ch.cfg.channels != 1:
+            raise ValueError(
+                "StreamEngine drives ONE stream (the CLI surface); for "
+                "multi-channel batches call chain.step directly "
+                f"(got channels={ch.cfg.channels})")
         carry = (self.initial_carry if self.initial_carry is not None
                  else ch.init_carry(1))
         s = StreamSummary()
@@ -105,6 +110,12 @@ class StreamEngine:
                 if hasattr(self.source, "seek_frames"):
                     self.source.seek_frames(fin)
                     skip_frames = 0
+                # a crash between checkpoints leaves the sink AHEAD of the
+                # checkpointed cut: truncate so resume is sample-exact
+                # instead of duplicating the post-checkpoint stretch
+                if hasattr(self.sink, "truncate_to_frames"):
+                    self.sink.truncate_to_frames(
+                        fout, ch.fmt_out.bytes_per_frame)
 
         t0 = time.monotonic()
         last_prog = t0
@@ -167,7 +178,16 @@ class StreamEngine:
                     eos = True
                 else:
                     if block.discontinuity:
-                        # process what we have, then reset on the next block
+                        # drain the pre-gap remainder as its own (padded)
+                        # short block FIRST — otherwise pre- and post-gap
+                        # samples would be spliced into one chunk and
+                        # resampled across the gap as if contiguous
+                        if buf:
+                            valid = len(buf) // bpf
+                            if valid:
+                                process(bytes(buf[:valid * bpf]), valid,
+                                        pending_reset)
+                            buf.clear()
                         pending_reset = True
                     payload = block.payload
                     if skip_bytes:          # resume on a non-seekable source

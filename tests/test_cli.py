@@ -261,3 +261,33 @@ def test_negative_range_values_merge():
         ["--freq-shift", "-50e3", "--stopband-2", "-5e3:5e3", "--lowpass", "1e5"])
     assert out == ["--freq-shift=-50e3", "--stopband-2=-5e3:5e3",
                    "--lowpass", "1e5"]
+
+
+def test_crash_resume_truncates_stale_output(tmp_path):
+    """Output written AFTER the last checkpoint (crash window) must be
+    truncated on resume, not duplicated."""
+    inp = tmp_path / "in.raw"
+    n = 16384 * 4
+    _write_raw_tone(inp, n, 2_048_000.0, 80_000.0)
+    base_args = ["-i", "raw-file", "-o", "raw",
+                 "--raw-file-input-rate", "2048000",
+                 "--raw-file-input-sample-format", "cs16",
+                 "--output-rate", "1488375"]
+
+    full = tmp_path / "full.raw"
+    assert main(base_args + [str(inp), str(full)]) == 0
+
+    half_in = tmp_path / "half.raw"
+    half_in.write_bytes(inp.read_bytes()[: n // 2 * 4])
+    part = tmp_path / "part.raw"
+    ckpt = tmp_path / "state.ckpt"
+    assert main(base_args + [str(half_in), str(part),
+                             "--checkpoint", str(ckpt)]) == 0
+
+    # simulate a crash AFTER the checkpoint: extra junk already in the file
+    with open(part, "ab") as f:
+        f.write(b"\x55\xaa" * 2048)
+
+    assert main(base_args + [str(inp), str(part),
+                             "--checkpoint", str(ckpt), "--resume"]) == 0
+    assert part.read_bytes() == full.read_bytes()
