@@ -384,17 +384,26 @@ def main(argv=None) -> int:
                               initial_carry=initial_carry,
                               pipeline_depth=args.pipeline_depth)
         t0 = time.monotonic()
-        if args.profile_dir:
-            import jax
-            with jax.profiler.trace(args.profile_dir):
+        try:
+            if args.profile_dir:
+                import jax
+                with jax.profiler.trace(args.profile_dir):
+                    s = engine.run()
+                log.info("profiler trace written to %s", args.profile_dir)
+            else:
                 s = engine.run()
-            log.info("profiler trace written to %s", args.profile_dir)
-        else:
-            s = engine.run()
-        if watchdog:
-            watchdog.stop()
-        sink.finalize()
-        source.close()
+        finally:
+            # finalize even when the stream errors: a partial RF64/WAV
+            # with patched sizes beats hours of capture behind a
+            # placeholder header; also stop the watchdog before it can
+            # hard-exit a process that is already unwinding
+            if watchdog:
+                watchdog.stop()
+            try:
+                sink.finalize()
+            except Exception as fin_err:
+                log.warning("finalize failed: %s", fin_err)
+            source.close()
         if sink.requires_output_path:
             print(file=sys.stderr)
             _print_summary_table("Final Summary", {

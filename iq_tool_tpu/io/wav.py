@@ -210,6 +210,12 @@ class WavWriter:
         self._data_start = f.tell()
 
     def write(self, payload: bytes) -> None:
+        if (self.container != "rf64"
+                and self._data_start + self.data_bytes + len(payload)
+                > 0xFFFFFFFF):
+            raise ValueError(
+                "classic WAV cannot exceed 4 GiB; use the rf64 container "
+                "(-o wav) for long captures")
         self._f.write(payload)
         self.data_bytes += len(payload)
 

@@ -24,6 +24,11 @@ class SourceInfo:
     nco_shift_hz: float = 0.0              # module-resolved shift (wav target freq)
 
 
+class OutputClosed(Exception):
+    """The sink's consumer went away (e.g. stdout EPIPE): graceful
+    shutdown, not an error (output_stdout.c:37-77)."""
+
+
 @dataclasses.dataclass
 class Block:
     """One block of raw input: payload bytes + stream-event flags."""

@@ -32,6 +32,8 @@ class RawFileInput(InputModule):
                             f"one of: {', '.join(complex_formats())}")
 
     def initialize(self, config, args) -> SourceInfo:
+        if config.input_path is None:
+            raise ValueError("raw-file input requires an input file path")
         rate = getattr(args, "raw_file_input_rate", None)
         fmt_name = getattr(args, "raw_file_input_sample_format", None)
         if not rate or rate <= 0:

@@ -27,15 +27,9 @@ from typing import Iterator
 
 from iq_tool_tpu import constants as C
 from iq_tool_tpu.modules.base import Block, InputModule, SourceInfo
+from iq_tool_tpu.utils.ringbuffer import make_ring as _make_ring
 from iq_tool_tpu.utils.ringbuffer import RingBuffer
 
-
-def _make_ring(capacity: int):
-    """Native C++ ring when built (multi-GB/s path), Python fallback."""
-    from iq_tool_tpu import native
-    if native.available():
-        return native.NativeRingBuffer(capacity)
-    return RingBuffer(capacity)
 
 
 def _require(args, name: str, flag: str):
@@ -97,6 +91,9 @@ class _SdrInputBase(InputModule):
         self._rate = self.default_rate
         self._fmt = None
         self._buffered = False
+        self._reset_pending = False
+        self._dropped = 0
+        self._dropped_warns = 0
 
     def _common_init(self, args) -> None:
         from iq_tool_tpu.formats import get_format
@@ -112,18 +109,33 @@ class _SdrInputBase(InputModule):
         bytes; buffered: IQPK packets with resync framing)."""
         if self._buffered:
             from iq_tool_tpu.io import packets
-            packets.write_interleaved_chunks(self._ring, payload,
-                                             self._fmt.name)
+            if self._reset_pending:
+                # a reset event was dropped on a full ring earlier: it MUST
+                # precede any further data or the gap would be spliced
+                if packets.write_reset_event(self._ring, self._fmt.name):
+                    self._reset_pending = False
+            dropped = packets.write_interleaved_chunks(self._ring, payload,
+                                                       self._fmt.name)
+            if dropped:
+                self._dropped += dropped
+                if self._dropped_warns < 5:
+                    self._dropped_warns += 1
+                    from iq_tool_tpu.utils.log import get_logger
+                    get_logger(self.name).warning(
+                        "capture ring overrun: dropped %d samples total",
+                        self._dropped)
         else:
             self._ring.write(payload)
         self.heartbeat = time.monotonic()
 
     def _deliver_reset(self) -> None:
         """Stream discontinuity (e.g. sdrplay stream-reset events,
-        input_sdrplay.c:384-395)."""
+        input_sdrplay.c:384-395).  Kept pending until it fits in the ring —
+        losing it would splice the gap."""
         if self._buffered:
             from iq_tool_tpu.io import packets
-            packets.write_reset_event(self._ring, self._fmt.name)
+            if not packets.write_reset_event(self._ring, self._fmt.name):
+                self._reset_pending = True
 
     # -- consumer side ----------------------------------------------------------
 
@@ -228,13 +240,29 @@ class RtlSdrInput(_SdrInputBase):
         return SourceInfo(sample_rate=self._rate, sample_format="cu8",
                           total_frames=None)
 
+    def close(self) -> None:
+        super().close()
+        dev = getattr(self, "_dev", None)
+        if dev is not None:
+            self._dev = None
+            try:
+                if getattr(self._args, "sdr_bias_t", False):
+                    self._lib.rtlsdr_set_bias_tee(dev, 0)
+                self._lib.rtlsdr_cancel_async(dev)
+                self._lib.rtlsdr_close(dev)
+            except Exception:
+                pass  # device teardown is best-effort on exit
+
     def _start_hardware(self) -> None:
         def reader():
             n_read = ctypes.c_int(0)
             buflen = 16384 * 2
             buf = (ctypes.c_ubyte * buflen)()
             while not self._stop.is_set():
-                r = self._lib.rtlsdr_read_sync(self._dev, buf, buflen,
+                dev = self._dev            # close() may null it under us
+                if dev is None:
+                    break
+                r = self._lib.rtlsdr_read_sync(dev, buf, buflen,
                                                ctypes.byref(n_read))
                 if r != 0:
                     break

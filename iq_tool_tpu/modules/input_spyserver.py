@@ -20,14 +20,7 @@ from iq_tool_tpu import __version__
 from iq_tool_tpu.formats import get_format
 from iq_tool_tpu.modules.base import Block, InputModule, SourceInfo
 from iq_tool_tpu.utils.ringbuffer import RingBuffer
-
-
-def _make_ring(capacity: int):
-    """Native C++ ring when built (multi-GB/s path), Python fallback."""
-    from iq_tool_tpu import native
-    if native.available():
-        return native.NativeRingBuffer(capacity)
-    return RingBuffer(capacity)
+from iq_tool_tpu.utils.ringbuffer import make_ring as _make_ring
 
 PROTOCOL_VERSION = (2 << 24) | (0 << 16) | 1700
 
@@ -91,6 +84,7 @@ class SpyServerInput(InputModule):
         self._device_info = None
         self._stop = threading.Event()
         self._error: Exception | None = None
+        self._dropped_msgs = 0
         self.heartbeat = 0.0
 
     @classmethod
@@ -136,7 +130,9 @@ class SpyServerInput(InputModule):
                              f"{sorted(_FMT_TO_ENUM)}, got '{req_fmt}'")
 
         self._sock = socket.create_connection((host, int(port)), timeout=30)
-        self._sock.settimeout(None)
+        # keep a deadline through the handshake: a service that accepts TCP
+        # but never answers must error out, not hang the CLI forever
+        self._sock.settimeout(30)
 
         # HELLO: protocol version + user agent
         agent = f"iq_tool_tpu version {__version__}".encode()
@@ -202,6 +198,8 @@ class SpyServerInput(InputModule):
     # ------------------------------------------------------------- streaming
 
     def _producer_loop(self) -> None:
+        # handshake done; streaming reads block indefinitely (watchdog covers stalls)
+        self._sock.settimeout(None)
         import time
         try:
             while not self._stop.is_set():
@@ -211,10 +209,15 @@ class SpyServerInput(InputModule):
                     continue
                 if not body:
                     continue
-                wrote = self._ring.write(body)
-                if wrote < len(body):
-                    # lossy real-time semantics: warn-and-drop (ring full)
-                    pass
+                # all-or-nothing: a partial write would shift every later
+                # sample/frame boundary (cs24 frames in a pow2 ring)
+                if not self._ring.write_all(body):
+                    self._dropped_msgs += 1
+                    if self._dropped_msgs in (1, 100, 10000):
+                        from iq_tool_tpu.utils.log import get_logger
+                        get_logger("spyserver").warning(
+                            "ring full: dropped %d IQ messages so far",
+                            self._dropped_msgs)
                 self.heartbeat = time.monotonic()
         except EOFError:
             pass  # clean end of stream

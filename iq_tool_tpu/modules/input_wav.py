@@ -32,6 +32,8 @@ class WavInput(InputModule):
                             "at DC (uses file center-frequency metadata)")
 
     def initialize(self, config, args) -> SourceInfo:
+        if config.input_path is None:
+            raise ValueError("wav input requires an input file path")
         self._r = WavReader(config.input_path)
         info = self._r.info
 

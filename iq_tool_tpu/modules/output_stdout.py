@@ -5,11 +5,9 @@ from __future__ import annotations
 
 import sys
 
-from iq_tool_tpu.modules.base import OutputModule
+from iq_tool_tpu.modules.base import OutputClosed, OutputModule
 
-
-class BrokenPipe(Exception):
-    """Raised to signal graceful downstream-closed shutdown."""
+BrokenPipe = OutputClosed    # back-compat alias
 
 
 class StdoutOutput(OutputModule):
@@ -28,7 +26,7 @@ class StdoutOutput(OutputModule):
             self._f.write(payload)
             self.bytes_written += len(payload)
         except BrokenPipeError as e:
-            raise BrokenPipe() from e
+            raise OutputClosed() from e
 
     def finalize(self) -> None:
         try:

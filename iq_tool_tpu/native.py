@@ -102,6 +102,12 @@ class NativeRingBuffer:
     def write(self, data: bytes) -> int:
         return self._lib.iq_ring_write(self._h, data, len(data))
 
+    def write_all(self, data: bytes) -> bool:
+        """All-or-nothing (safe SPSC: only the producer moves `free` down)."""
+        if len(data) > self.free:
+            return False
+        return self.write(data) == len(data)
+
     def read(self, n: int, timeout=None) -> bytes:
         out = ctypes.create_string_buffer(n)
         got = self._lib.iq_ring_read(self._h, out, n)

@@ -21,7 +21,7 @@ import jax
 import numpy as np
 
 from iq_tool_tpu import constants as C
-from iq_tool_tpu.modules.base import InputModule, OutputModule
+from iq_tool_tpu.modules.base import InputModule, OutputClosed, OutputModule
 from iq_tool_tpu.pipeline.chain import Chain
 
 
@@ -74,10 +74,15 @@ class StreamEngine:
         s = StreamSummary()
         t0 = time.monotonic()
         last_prog = t0
-        for block in self.source.blocks(C.DEFAULT_BLOCK_SIZE):
-            self.sink.write(block.payload)
-            s.bytes_out += len(block.payload)
-            last_prog = self._progress_tick(s, t0, last_prog)
+        try:
+            for block in self.source.blocks(C.DEFAULT_BLOCK_SIZE):
+                self.sink.write(block.payload)
+                s.bytes_out += len(block.payload)
+                last_prog = self._progress_tick(s, t0, last_prog)
+        except OutputClosed:
+            pass                # consumer closed the pipe: graceful stop
+        except KeyboardInterrupt:
+            s.interrupted = True
         s.duration_sec = time.monotonic() - t0
         return s
 
@@ -208,9 +213,14 @@ class StreamEngine:
                     process(bytes(buf), valid, pending_reset)
                     buf.clear()
             flush_pending()
+        except OutputClosed:
+            pending.clear()     # consumer is gone; nothing more to write
         except KeyboardInterrupt:
             s.interrupted = True
-            flush_pending()
+            try:
+                flush_pending()
+            except OutputClosed:
+                pending.clear()
         if self.checkpoint_path:
             from iq_tool_tpu.pipeline.checkpoint import save_checkpoint
             save_checkpoint(self.checkpoint_path, carry,

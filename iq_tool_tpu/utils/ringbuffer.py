@@ -54,6 +54,27 @@ class RingBuffer:
             self._readable.notify_all()
             return n
 
+    def write_all(self, data: bytes) -> bool:
+        """All-or-nothing write: False (nothing written) when the free
+        space cannot take the whole message.  Producers of FRAMED or
+        sample-aligned streams must use this — a partial write would
+        shift every later frame boundary (e.g. 6-byte cs24 frames in a
+        pow2 ring)."""
+        with self._lock:
+            if (self._shutdown or self._eos
+                    or len(data) > self.capacity - self._size):
+                return False
+            n = len(data)
+            first = min(n, self.capacity - self._head)
+            self._buf[self._head:self._head + first] = data[:first]
+            rest = n - first
+            if rest:
+                self._buf[:rest] = data[first:first + rest]
+            self._head = (self._head + n) % self.capacity
+            self._size += n
+            self._readable.notify_all()
+            return True
+
     def read(self, n: int, timeout: float | None = None) -> bytes:
         """Block until n bytes, EOS (returns what's left), or shutdown
         (returns b'')."""
@@ -97,3 +118,11 @@ class RingBuffer:
     def eos_signaled(self) -> bool:
         with self._lock:
             return self._eos
+
+
+def make_ring(capacity: int):
+    """Native C++ SPSC ring when built (multi-GB/s path), Python fallback."""
+    from iq_tool_tpu import native
+    if native.available():
+        return native.NativeRingBuffer(capacity)
+    return RingBuffer(capacity)

@@ -202,3 +202,15 @@ def test_api_demo_example():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.main()
+
+
+def test_ringbuffer_write_all_alignment():
+    """write_all never splits a message (partial writes would shift frame
+    boundaries for 6-byte cs24 frames in a pow2 ring)."""
+    from iq_tool_tpu.utils.ringbuffer import RingBuffer
+    rb = RingBuffer(16)
+    assert rb.write_all(b"abcdef")          # 6
+    assert rb.write_all(b"ghijkl")          # 12
+    assert not rb.write_all(b"mnopqr")      # would need 18 > 16: all-or-nothing
+    assert rb.read(12) == b"abcdefghijkl"
+    assert rb.write_all(b"mnopqr")

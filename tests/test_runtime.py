@@ -91,3 +91,49 @@ def test_split_invariance_and_eos_trim(rng):
     # pipeline depth must not change bytes
     assert _run(payload, cutsets[0], depth=1) == whole
     assert _run(payload, cutsets[0], depth=16) == whole
+
+
+def test_output_closed_is_graceful(rng):
+    """A sink whose consumer goes away (stdout EPIPE) stops the stream
+    cleanly instead of crashing (output_stdout.c:37-77 semantics)."""
+    from iq_tool_tpu.modules.base import OutputClosed
+
+    class ClosingSink(FakeSink):
+        def write(self, payload: bytes) -> None:
+            if len(self.data) > 1000:
+                raise OutputClosed()
+            super().write(payload)
+
+    chain = _chain()
+    payload = rng.integers(-2**15, 2**15,
+                           2 * chain.n_in * 4).astype(np.int16).tobytes()
+    sink = ClosingSink()
+    eng = StreamEngine(chain, FakeSource(payload, [len(payload)]), sink)
+    s = eng.run()                        # must not raise
+    assert not s.interrupted
+    assert len(sink.data) <= 1000 + chain.n_out * 4
+
+
+def test_discontinuity_drains_pregap_remainder(rng):
+    """Pre-gap buffered bytes must be processed as their own short block
+    before the reset, never spliced with post-gap samples."""
+    chain = _chain()
+    n_bytes = chain.n_in * 4
+    payload = rng.integers(-2**15, 2**15,
+                           2 * chain.n_in * 4).astype(np.int16).tobytes()
+    half = n_bytes // 2
+
+    class GappySource(FakeSource):
+        def blocks(self, frames_per_block: int):
+            yield Block(payload[:half])                      # partial block
+            yield Block(payload[half:], discontinuity=True)  # gap before this
+
+    sink = FakeSink()
+    s = StreamEngine(chain, GappySource(b"", []), sink).run()
+    # pre-gap half (n_in/2 frames) + post-gap rest all accounted for
+    assert s.frames_in == len(payload) // 4
+    assert s.frames_out * 4 == len(sink.data)
+    # and equals: fresh run of pre-gap half ++ fresh run of the rest
+    a = _run(payload[:half], [half])
+    b = _run(payload[half:], [len(payload) - half])
+    assert bytes(sink.data) == a + b
