@@ -45,7 +45,7 @@ IQ_GRID_SPAN = 8.0                  # initial half-span in units of IQ_EST_STEP
 AGC_TARGET = 0.5
 AGC_BW_DX = 1e-4
 AGC_BW_LOCAL = 1e-2
-AGC_DIGITAL_TARGET = 0.5
+AGC_DIGITAL_TARGET = 0.9          # agc.c digital default target
 AGC_DIGITAL_SCAN_SEC = 2.0          # peak-scan window before locking
 AGC_DIGITAL_HANG_SEC = 4.0          # hang time after a clip ratchet
 AGC_DIGITAL_CLIP_RATCHET = 0.99     # on clip: gain -> 0.99/peak

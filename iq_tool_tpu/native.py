@@ -37,6 +37,9 @@ def _bind(lib) -> None:
     lib.iq_ring_read.restype = ctypes.c_size_t
     lib.iq_ring_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                  ctypes.c_size_t]
+    lib.iq_ring_read_timed.restype = ctypes.c_size_t
+    lib.iq_ring_read_timed.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_size_t, ctypes.c_long]
     lib.iq_ring_size.restype = ctypes.c_size_t
     lib.iq_ring_size.argtypes = [ctypes.c_void_p]
     lib.iq_ring_signal_eos.argtypes = [ctypes.c_void_p]
@@ -60,7 +63,7 @@ def load():
             return None
         lib = ctypes.CDLL(_SO)
         _bind(lib)
-        if lib.iq_native_abi_version() != 1:
+        if lib.iq_native_abi_version() != 2:
             return None
         _lib = lib
         return _lib
@@ -110,7 +113,8 @@ class NativeRingBuffer:
 
     def read(self, n: int, timeout=None) -> bytes:
         out = ctypes.create_string_buffer(n)
-        got = self._lib.iq_ring_read(self._h, out, n)
+        ms = -1 if timeout is None else max(0, int(timeout * 1000))
+        got = self._lib.iq_ring_read_timed(self._h, out, n, ms)
         return out.raw[:got]
 
     @property
@@ -139,8 +143,9 @@ class NativeRingBuffer:
     def __del__(self):
         h = getattr(self, "_h", None)
         if h:
-            self._lib.iq_ring_destroy(h)
             self._h = None
+            # destroy wakes + drains blocked readers before freeing
+            self._lib.iq_ring_destroy(h)
 
 
 def unpack_cs24(data: bytes) -> np.ndarray:
@@ -175,6 +180,8 @@ def pack_cs24(values: np.ndarray) -> bytes:
 def interleave_shorts(xi: np.ndarray, xq: np.ndarray) -> np.ndarray:
     xi = np.ascontiguousarray(xi, np.int16)
     xq = np.ascontiguousarray(xq, np.int16)
+    if len(xi) != len(xq):
+        raise ValueError(f"planar length mismatch: {len(xi)} vs {len(xq)}")
     n = len(xi)
     out = np.empty(n * 2, np.int16)
     lib = load()

@@ -45,7 +45,8 @@ class AgcConfig(NamedTuple):
         if profile not in PROFILES:
             raise ValueError(f"unknown AGC profile '{profile}'; valid: {PROFILES}")
         if target is None or target <= 0:
-            target = 0.9 if profile == "digital" else C.AGC_TARGET
+            target = (C.AGC_DIGITAL_TARGET if profile == "digital"
+                      else C.AGC_TARGET)
         return cls(profile, float(target), float(sample_rate))
 
 
@@ -89,6 +90,9 @@ def rms_scan(e_in: jnp.ndarray, gain: jnp.ndarray, e2: jnp.ndarray,
         e2_new = (1.0 - beta) * e2_ + beta * e_out
         g_new = g * jnp.exp(-0.5 * beta * jnp.log(
             jnp.maximum(e2_new, 1e-16) / t2))
+        # digital silence would otherwise drive g -> inf, then 0*inf = NaN
+        # permanently poisons the state; clamp like a real AGC's gain range
+        g_new = jnp.clip(g_new, 1e-6, 1e6)
         return (g_new, e2_new), g_new
 
     (g_fin, e2_fin), gains = jax.lax.scan(body, (gain, e2), e_in)

@@ -96,7 +96,11 @@ def design_request(req: FilterRequest, sample_rate: float, atten_db: float,
             n += 1
         n = max(n, C.FILTER_MIN_TAPS)
     else:
+        # the reference forces odd lengths (filter.c:188-190): spectral
+        # inversion needs an exact center tap
         n = int(num_taps)
+        if n % 2 == 0:
+            n += 1
 
     if req.type in ("pass-range", "stop-range") and abs(req.freq1_hz) > 1e-9:
         # off-center band: heterodyne a real LPF prototype to the center

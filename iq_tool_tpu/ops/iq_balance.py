@@ -103,8 +103,8 @@ def _utility(spec_db: jnp.ndarray) -> jnp.ndarray:
     """iq_correct.c:338-359 on an fftshifted dB spectrum (last axis)."""
     nfft = spec_db.shape[-1]
     half = nfft // 2
-    lo = int(0.05 * half)
-    hi = int(0.95 * half)
+    lo = int(C.IQ_BAND_LO * half)
+    hi = int(C.IQ_BAND_HI * half)
     p_neg = spec_db[..., lo:hi]
     # p_pos[i] = spec[nfft-1-i] for i in [lo, hi)  (iq_correct.c:350-352)
     p_pos = jnp.flip(spec_db[..., nfft - hi: nfft - lo], axis=-1)
@@ -117,8 +117,8 @@ def _power_gate(spec_db: jnp.ndarray) -> jnp.ndarray:
     """peak-to-average over the utility band (iq_correct.c:362-388)."""
     nfft = spec_db.shape[-1]
     half = nfft // 2
-    lo = int(0.05 * half)
-    hi = int(0.95 * half)
+    lo = int(C.IQ_BAND_LO * half)
+    hi = int(C.IQ_BAND_HI * half)
     p_neg = spec_db[..., lo:hi]
     p_pos = jnp.flip(spec_db[..., nfft - hi: nfft - lo], axis=-1)
     mx = jnp.maximum(jnp.max(p_pos, axis=-1), jnp.max(p_neg, axis=-1))
@@ -141,6 +141,12 @@ def _optimize_channel(x: jnp.ndarray, factors: jnp.ndarray,
     w = _window(nfft)
     base = tfft.fftshift(tfft.fft(w * x))
     image = tfft.fftshift(tfft.fft(w * jnp.real(x)))
+    return _optimize_core(base, image, factors, passes)
+
+
+def _optimize_core(base: jnp.ndarray, image: jnp.ndarray,
+                   factors: jnp.ndarray, passes: int = 25) -> jnp.ndarray:
+    """The descent given precomputed base/image spectra (one channel)."""
     step = jnp.float32(C.IQ_EST_STEP)
     dirs = jnp.asarray(_DIRS)
 
@@ -189,23 +195,32 @@ def maybe_update(x: jnp.ndarray, state: IqState, interval_samples: int,
     counter = state.samples_since_opt
     due = counter >= jnp.uint32(interval_samples)
 
-    w = _window(nfft)
-    base = tfft.fftshift(tfft.fft(w * seg))
-    image = tfft.fftshift(tfft.fft(w * jnp.real(seg)))
-    spec0 = _spectrum_db(base, image, state.factors[:, 0], state.factors[:, 1])
-    gate = _power_gate(spec0) >= jnp.float32(C.IQ_POWER_GATE_DB)  # (C,)
+    def run_estimator(factors):
+        """FFTs + power gate + 25-pass descent — only on due blocks
+        (lax.cond: ~99% of blocks skip the whole estimator instead of
+        computing-and-discarding it)."""
+        w = _window(nfft)
+        base = tfft.fftshift(tfft.fft(w * seg))
+        image = tfft.fftshift(tfft.fft(w * jnp.real(seg)))
+        spec0 = _spectrum_db(base, image, factors[:, 0], factors[:, 1])
+        gate = _power_gate(spec0) >= jnp.float32(C.IQ_POWER_GATE_DB)  # (C,)
+        new_raw = jax.vmap(
+            lambda b, i, f: _optimize_core(b, i, f, passes))(
+                base, image, factors)
+        sm = jnp.float32(C.IQ_SMOOTHING)
+        smoothed = (1.0 - sm) * factors + sm * new_raw
+        return jnp.where(gate[:, None], smoothed, factors), jnp.any(gate)
 
-    new_raw = jax.vmap(lambda xs, f: _optimize_channel(xs, f, passes))(seg, state.factors)
-    sm = jnp.float32(C.IQ_SMOOTHING)
-    smoothed = (1.0 - sm) * state.factors + sm * new_raw
-
-    run = due & gate                                    # (C,)
-    factors = jnp.where(run[:, None], smoothed, state.factors)
+    factors, ran = jax.lax.cond(
+        due, run_estimator,
+        lambda f: (f, jnp.bool_(False)), state.factors)
     # counter: reset when an update ran (any channel due+gated keeps the
-    # reference's global 500 ms cadence), else saturating add
+    # reference's global 500 ms cadence), else saturating add (saturate
+    # BEFORE adding so the 0xFFFFFFFF fire-ASAP sentinel cannot wrap)
     adv = jnp.uint32(advance_samples if advance_samples is not None else n)
-    new_counter = jnp.where(due & jnp.any(gate), jnp.uint32(0),
-                            jnp.minimum(counter + adv, jnp.uint32(0xF0000000)))
+    sat = jnp.uint32(0xF0000000)
+    new_counter = jnp.where(ran, jnp.uint32(0),
+                            jnp.minimum(jnp.minimum(counter, sat) + adv, sat))
     return IqState(factors=factors, samples_since_opt=new_counter)
 
 

@@ -15,6 +15,7 @@
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 in image).
 
 #include <atomic>
+#include <chrono>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -52,6 +53,17 @@ IqRing* iq_ring_create(size_t capacity) {
 
 void iq_ring_destroy(IqRing* r) {
     if (!r) return;
+    {
+        // wake any blocked reader and let it leave wait() before the
+        // mutex/condvar are destroyed (destroying a condvar with an
+        // active waiter is UB)
+        std::unique_lock<std::mutex> lk(r->m);
+        r->shutdown = true;
+        r->readable.notify_all();
+    }
+    {
+        std::lock_guard<std::mutex> lk(r->m);
+    }
     delete[] r->buf;
     delete r;
 }
@@ -71,15 +83,24 @@ size_t iq_ring_write(IqRing* r, const uint8_t* data, size_t n) {
     return take;
 }
 
-// Blocking read: up to n bytes; returns short on EOS, 0 on shutdown.
-size_t iq_ring_read(IqRing* r, uint8_t* out, size_t n) {
+// Blocking read: up to n bytes; returns short on EOS or timeout, 0 on
+// shutdown (matching the Python RingBuffer).  timeout_ms < 0 = forever.
+size_t iq_ring_read_timed(IqRing* r, uint8_t* out, size_t n,
+                          long timeout_ms) {
     size_t got = 0;
     std::unique_lock<std::mutex> lk(r->m);
     while (got < n) {
         if (r->size == 0) {
-            if (r->shutdown) return got;
+            if (r->shutdown) return 0;
             if (r->eos) break;
-            r->readable.wait(lk);
+            if (timeout_ms < 0) {
+                r->readable.wait(lk);
+            } else {
+                if (r->readable.wait_for(
+                        lk, std::chrono::milliseconds(timeout_ms)) ==
+                    std::cv_status::timeout)
+                    break;
+            }
             continue;
         }
         size_t take = (n - got) < r->size ? (n - got) : r->size;
@@ -91,6 +112,10 @@ size_t iq_ring_read(IqRing* r, uint8_t* out, size_t n) {
         got += take;
     }
     return got;
+}
+
+size_t iq_ring_read(IqRing* r, uint8_t* out, size_t n) {
+    return iq_ring_read_timed(r, out, n, -1);
 }
 
 size_t iq_ring_size(IqRing* r) {
@@ -160,6 +185,6 @@ long iq_pread(int fd, uint8_t* out, size_t n, long offset) {
     return (long)got;
 }
 
-int iq_native_abi_version(void) { return 1; }
+int iq_native_abi_version(void) { return 2; }
 
 }  // extern "C"
