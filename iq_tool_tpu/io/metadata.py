@@ -121,18 +121,21 @@ def parse_filename(name: str) -> SdrMetadata | None:
     md = SdrMetadata()
     inferred_sharp = False
 
-    m = re.search(r"[Hh][Zz]", name)
-    if m:
+    # take the LAST 'Hz' marker whose preceding _-delimited token is a
+    # number: names like 'notch_60Hz_..._145000000Hz.wav' must pick the
+    # capture frequency, not an incidental earlier marker
+    for m in reversed(list(re.finditer(r"[Hh][Zz]", name))):
         before = name[: m.start()]
         us = before.rfind("_")
         if us >= 0 and us + 1 < len(before):
             try:
                 freq = float(before[us + 1:])
-                if freq > 0:
-                    md.center_freq_hz = freq
-                    inferred_sharp = True
             except ValueError:
-                pass
+                continue
+            if freq > 0:
+                md.center_freq_hz = freq
+                inferred_sharp = True
+                break
 
     tm = re.search(r"_(\d{4})(\d{2})(\d{2})_(\d{2})(\d{2})(\d{2})Z", name)
     if tm:

@@ -48,7 +48,9 @@ class Packet:
 def write_reset_event(ring: RingBuffer, fmt_name: str) -> bool:
     hdr = HEADER.pack(MAGIC, 0, FLAG_RESET | FLAG_INTERLEAVED,
                       _FORMAT_IDS[fmt_name])
-    return ring.write(hdr) == len(hdr)
+    # all-or-nothing: a truncated header would inject orphan bytes into
+    # the framed stream and force a resync
+    return ring.write_all(hdr)
 
 
 def write_interleaved_chunks(ring: RingBuffer, data: bytes, fmt_name: str) -> int:
@@ -63,11 +65,9 @@ def write_interleaved_chunks(ring: RingBuffer, data: bytes, fmt_name: str) -> in
         n = min(MAX_PACKET_SAMPLES, total - off)
         chunk = data[off * bpf:(off + n) * bpf]
         hdr = HEADER.pack(MAGIC, n, FLAG_INTERLEAVED, fid)
-        if ring.free < len(hdr) + len(chunk):
+        if not ring.write_all(hdr + chunk):
             dropped += total - off
             break
-        ring.write(hdr)
-        ring.write(chunk)
         off += n
     return dropped
 
@@ -100,16 +100,9 @@ class PacketReader:
     def __init__(self, ring: RingBuffer):
         self.ring = ring
         self.resync_count = 0
-        self._pending = b""
 
     def _read(self, n: int) -> bytes:
-        if len(self._pending) >= n:
-            out, self._pending = self._pending[:n], self._pending[n:]
-            return out
-        need = n - len(self._pending)
-        out = self._pending + self.ring.read(need)
-        self._pending = b""
-        return out
+        return self.ring.read(n)
 
     def read_packet(self) -> Packet | None:
         """Next valid packet, or None at end of stream."""

@@ -32,6 +32,7 @@ class WavInfo:
     sample_format: str          # cs16 / cu8 (2-channel I/Q)
     chunks: dict                # id -> bytes (small non-data chunks)
     is_rf64: bool
+    ds64_offset: int = 12       # RF64 size-chunk position (chunk header)
 
 
 class WavReader:
@@ -54,6 +55,7 @@ class WavReader:
         ds64_data_size = None
         fmt = None
         data_offset = data_bytes = None
+        ds64_offset = 12
         chunks: dict[str, bytes] = {}
 
         while True:
@@ -62,6 +64,7 @@ class WavReader:
                 break
             cid, size = struct.unpack("<4sI", hdr)
             if cid == b"ds64":
+                ds64_offset = f.tell() - 8
                 body = f.read(size)
                 riff_sz, data_sz = struct.unpack_from("<QQ", body, 0)
                 ds64_data_size = data_sz
@@ -74,6 +77,11 @@ class WavReader:
                     data_bytes = ds64_data_size
                 else:
                     data_bytes = size
+                if data_bytes in (0, 0xFFFFFFFF):
+                    # crashed writer left a placeholder size: the data
+                    # chunk runs to EOF — walking the payload as chunk
+                    # headers would scan gigabytes (or corrupt offsets)
+                    break
                 f.seek(data_bytes + (data_bytes & 1), io.SEEK_CUR)
             else:
                 body = f.read(min(size, 1 << 20))
@@ -104,7 +112,8 @@ class WavReader:
         return WavInfo(sample_rate=rate, channels=channels, bits=bits,
                        data_offset=data_offset, data_bytes=frames * block_align,
                        frames=frames, sample_format=_FORMAT_BY_BITS[bits],
-                       chunks=chunks, is_rf64=is_rf64)
+                       chunks=chunks, is_rf64=is_rf64,
+                       ds64_offset=ds64_offset)
 
     # -- streaming ---------------------------------------------------------------
 
@@ -171,7 +180,7 @@ class WavWriter:
             self.data_bytes = info.data_bytes
             self._data_start = info.data_offset
             if container == "rf64":
-                self._ds64_pos = 12          # ds64 immediately after RF64 hdr
+                self._ds64_pos = info.ds64_offset
             else:
                 self._data_size_pos = info.data_offset - 4
             self._f.seek(info.data_offset + info.data_bytes)
@@ -181,7 +190,15 @@ class WavWriter:
 
     def truncate_data(self, data_bytes: int) -> None:
         """Resume reconciliation: cut the data chunk back to data_bytes
-        (sizes re-patched at finalize)."""
+        (sizes re-patched at finalize).  A SHORTER file means output the
+        checkpoint already counted is missing — resuming would splice a
+        silent gap, so that is an error."""
+        if self.data_bytes < data_bytes:
+            raise ValueError(
+                f"output has {self.data_bytes} data bytes but the "
+                f"checkpoint expects {data_bytes}: the file lost data "
+                "after the checkpoint was written (cannot resume "
+                "sample-exactly)")
         if data_bytes < self.data_bytes:
             self._f.truncate(self._data_start + data_bytes)
             self.data_bytes = data_bytes

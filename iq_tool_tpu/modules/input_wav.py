@@ -49,7 +49,7 @@ class WavInput(InputModule):
 
         shift = 0.0
         self._target_freq = getattr(args, "wav_center_target_freq", None)
-        if self._target_freq:
+        if self._target_freq is not None:
             if meta.center_freq_hz is None:
                 raise ValueError(
                     "--wav-center-target-freq requires center-frequency "

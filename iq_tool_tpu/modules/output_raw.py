@@ -61,7 +61,13 @@ class RawFileOutput(OutputModule):
         checkpoint so the stream continues sample-exactly."""
         want = frames * bytes_per_frame
         self._f.flush()
-        if os.path.getsize(self._path) > want:
+        have = os.path.getsize(self._path)
+        if have < want:
+            raise ValueError(
+                f"output has {have} bytes but the checkpoint expects "
+                f"{want}: the file lost data after the checkpoint was "
+                "written (cannot resume sample-exactly)")
+        if have > want:
             os.ftruncate(self._f.fileno(), want)
 
     def write(self, payload: bytes) -> None:

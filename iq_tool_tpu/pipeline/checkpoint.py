@@ -61,7 +61,17 @@ def save_checkpoint(path: str, carry, frames_in: int, frames_out: int,
     try:
         with os.fdopen(fd, "wb") as f:
             np.savez(f, **payload)
+            # fsync before the rename: a journaled rename of an
+            # unsynced temp file can destroy BOTH checkpoints on power
+            # loss — the exact crash class checkpoints must survive
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
+        dfd = os.open(d, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
     except BaseException:
         if os.path.exists(tmp):
             os.unlink(tmp)

@@ -97,6 +97,9 @@ def load_presets() -> tuple[dict[str, Preset], str | None]:
     none and return ({}, None), matching presets_loader.c:136-178 (the
     package-data fallback never conflicts)."""
     candidates = [p for p in _search_paths()[:-1] if os.path.isfile(p)]
+    # the same physical file reachable via two search paths (env var
+    # pointing at the cwd copy) is not a conflict
+    candidates = list(dict.fromkeys(os.path.realpath(p) for p in candidates))
     if len(candidates) > 1:
         return {}, None
     path = candidates[0] if candidates else _search_paths()[-1]

@@ -214,3 +214,28 @@ def test_ringbuffer_write_all_alignment():
     assert not rb.write_all(b"mnopqr")      # would need 18 > 16: all-or-nothing
     assert rb.read(12) == b"abcdefghijkl"
     assert rb.write_all(b"mnopqr")
+
+
+def test_filename_parse_picks_last_hz_marker():
+    from iq_tool_tpu.io.metadata import parse_filename
+    md = parse_filename("notch_60Hz_SDRSharp_20240101_000000Z_145000000Hz.wav")
+    assert md.center_freq_hz == 145000000.0
+
+
+def test_crashed_wav_header_reads_to_eof(tmp_path):
+    """A writer that died before finalize leaves size 0 placeholders; the
+    reader must trust the file size, not walk the payload as chunks."""
+    import struct
+
+    import numpy as np
+
+    from iq_tool_tpu.io.wav import WavReader
+    data = np.zeros(4096, np.int16).tobytes()     # silence: worst case
+    hdr = b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 48000, 192000, 4, 16)
+    hdr += b"data" + struct.pack("<I", 0)         # unpatched
+    path = tmp_path / "crashed.wav"
+    path.write_bytes(hdr + data)
+    info = WavReader(str(path)).info
+    assert info.data_bytes == len(data)
+    assert info.frames == len(data) // 4
