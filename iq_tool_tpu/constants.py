@@ -71,3 +71,4 @@ RTLSDR_DEFAULT_RATE = 2_400_000     # constants.h:200
 BANDED_STRIDE_CAP = 256             # FIR toeplitz-matmul output group width
 PIPELINE_DEPTH = 4                  # host<->device in-flight steps (runtime.py)
 FUSE_MAX_TAPS = 256                 # FIR->resampler fusion cap (chain.py)
+FFT_MIN_BLOCK = 2048               # auto overlap-save block floor (TPU)

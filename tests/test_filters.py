@@ -134,9 +134,11 @@ def test_min_taps_and_odd():
 
 def test_choose_fft_block():
     # filter.c:317-336: next pow2 >= taps-1, doubled if < 2*taps
-    assert fir_design.choose_fft_block(21) == 64
-    assert fir_design.choose_fft_block(129) == 256
+    # auto floor is FFT_MIN_BLOCK on TPU-scale batches
+    assert fir_design.choose_fft_block(21) == 2048
+    assert fir_design.choose_fft_block(129) == 2048
     assert fir_design.choose_fft_block(1024) == 2048
+    assert fir_design.choose_fft_block(3000) == 8192
     assert fir_design.choose_fft_block(100, user_fft_size=512) == 256
     with pytest.raises(ValueError):
         fir_design.choose_fft_block(1000, user_fft_size=512)
