@@ -239,3 +239,63 @@ def test_crashed_wav_header_reads_to_eof(tmp_path):
     info = WavReader(str(path)).info
     assert info.data_bytes == len(data)
     assert info.frames == len(data) // 4
+
+
+def test_rtlsdr_mock_driver(monkeypatch):
+    """Exercise the rtlsdr ctypes plumbing end-to-end with a fake librtlsdr:
+    open/configure, sync reads into the ring, bias-T + close teardown."""
+    import ctypes
+    import ctypes.util
+
+    from iq_tool_tpu.modules.input_sdr import RtlSdrInput
+
+    calls = []
+
+    class FakeLib:
+        def __getattr__(self, name):
+            def fn(*a):
+                calls.append(name)
+                if name == "rtlsdr_open":
+                    a[0]._obj.value = 1234
+                    return 0
+                if name == "rtlsdr_read_sync":
+                    if calls.count("rtlsdr_read_sync") > 3:
+                        return -1          # stop the reader loop
+                    n = ctypes.cast(a[3], ctypes.POINTER(ctypes.c_int))
+                    n.contents.value = 4096
+                    ctypes.memset(a[1], 127, 4096)
+                    return 0
+                return 0
+            return fn
+
+    monkeypatch.setattr(ctypes.util, "find_library", lambda n: "fake_rtlsdr")
+    monkeypatch.setattr(ctypes, "CDLL", lambda path: FakeLib())
+
+    class Args:
+        sdr_rf_freq = 100e6
+        sdr_sample_rate = 2_048_000.0
+        sdr_bias_t = True
+        rtlsdr_device_idx = 0
+        rtlsdr_gain = 19.7
+        rtlsdr_ppm = 5
+        rtlsdr_direct_sampling = None
+        sdr_buffered = False
+
+        def __getattr__(self, _):
+            return None
+
+    mod = RtlSdrInput()
+    info = mod.initialize(None, Args())
+    assert info.sample_format == "cu8"
+    assert "rtlsdr_set_bias_tee" in calls
+    assert "rtlsdr_set_tuner_gain" in calls
+    got = bytearray()
+    for blk in mod.blocks(2048):
+        got.extend(blk.payload)
+        if len(got) >= 3 * 4096:
+            break
+    assert len(got) >= 3 * 4096 and set(got) == {127}
+    mod.close()
+    assert "rtlsdr_cancel_async" in calls and "rtlsdr_close" in calls
+    # bias-T disabled on the way out
+    assert calls.count("rtlsdr_set_bias_tee") == 2
