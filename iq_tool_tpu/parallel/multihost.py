@@ -43,6 +43,8 @@ def host_local_channels(sc: ShardedChain) -> tuple[int, int]:
 
     Channels are sharded over the mesh's channel axis; each host reads the
     byte streams of the channels whose shards live on its local devices.
+    Raises for meshes where one host's channel shards are NON-contiguous
+    (feeding would need a gather; build the mesh host-major instead).
     """
     mesh = sc.mesh
     ch_per_shard = sc.cfg.channels // sc.c_shards
@@ -53,8 +55,12 @@ def host_local_channels(sc: ShardedChain) -> tuple[int, int]:
             local.add(int(ci))
     if not local:
         return 0, 0
-    first = min(local)
-    return first * ch_per_shard, len(local) * ch_per_shard
+    idx = sorted(local)
+    if idx != list(range(idx[0], idx[0] + len(idx))):
+        raise ValueError(
+            f"this host's channel shards {idx} are not contiguous; "
+            "order mesh devices host-major so each host feeds one slab")
+    return idx[0] * ch_per_shard, len(idx) * ch_per_shard
 
 
 def shard_input(sc: ShardedChain, host_array: np.ndarray):
