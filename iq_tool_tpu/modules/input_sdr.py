@@ -8,10 +8,12 @@ option-surface and behavioral parity with the reference
 * device-independent logic (rtlsdr 10x integer gain mapping, bladerf
   adaptive stream profiles and dynamic transfer sizing, rate bounds) is
   implemented and unit-tested;
-* rtlsdr has a real ctypes driver path (librtlsdr) used when the shared
-  library is present; the others fail at initialize() with a clear
-  "driver not available" message (the reference similarly dlopen()s
-  vendor DLLs at runtime, input_sdrplay.c:57-167, input_bladerf.c:79-143).
+* rtlsdr (sync reads), hackrf (libusb-async RX callback) and bladerf
+  (sync RX with adaptive stream profiles + FPGA load) have real ctypes
+  driver paths used when the shared library is present (the reference
+  similarly dlopen()s vendor DLLs at runtime, input_sdrplay.c:57-167,
+  input_bladerf.c:79-143); sdrplay remains gated (its vendor service
+  API is struct-heavy and unverifiable without hardware).
 
 All hardware callbacks feed the same lossy RingBuffer + heartbeat pattern
 as the SpyServer client (SURVEY.md section 3.3).
@@ -320,11 +322,28 @@ class SdrPlayInput(_DriverGated):
                        help="HDR mode bandwidth (requires --sdrplay-hdr-mode)")
 
 
-class HackRfInput(_DriverGated):
+class _HackRfTransfer(ctypes.Structure):
+    """libhackrf's hackrf_transfer (the fields the RX callback touches)."""
+    _fields_ = [("device", ctypes.c_void_p),
+                ("buffer", ctypes.POINTER(ctypes.c_ubyte)),
+                ("buffer_length", ctypes.c_int),
+                ("valid_length", ctypes.c_int),
+                ("rx_ctx", ctypes.c_void_p),
+                ("tx_ctx", ctypes.c_void_p)]
+
+
+_HACKRF_RX_CB = ctypes.CFUNCTYPE(ctypes.c_int,
+                                 ctypes.POINTER(_HackRfTransfer))
+
+
+class HackRfInput(_SdrInputBase):
+    """libusb-async capture via libhackrf's RX callback
+    (input_hackrf.c:186-219 semantics: each transfer's valid bytes are
+    delivered to the ring; rate validated 2-20 MHz)."""
+
     name = "hackrf"
     native_format = "cs8"                  # input_hackrf.c:303
     default_rate = 10_000_000.0
-    driver_lib = "hackrf"
 
     @classmethod
     def add_cli_options(cls, parser) -> None:
@@ -336,12 +355,81 @@ class HackRfInput(_DriverGated):
         g.add_argument("--hackrf-amp-enable", action="store_true",
                        help="Enable the +14 dB front-end RF amplifier")
 
+    def initialize(self, config, args) -> SourceInfo:
+        self._common_init(args)
+        hackrf_validate_rate(self._rate)
+        libname = ctypes.util.find_library("hackrf")
+        if not libname:
+            raise ValueError(
+                "hackrf input: libhackrf not found on this host. TPU hosts "
+                "have no USB radio hardware; use the spyserver-client input "
+                "to stream from a remote SDR instead.")
+        lib = ctypes.CDLL(libname)
+        self._lib = lib
+        self._args = args
+        if lib.hackrf_init() != 0:
+            raise ValueError("hackrf_init failed")
+        dev = ctypes.c_void_p()
+        if lib.hackrf_open(ctypes.byref(dev)) != 0:
+            raise ValueError("no HackRF device could be opened")
+        self._dev = dev
+        lib.hackrf_set_sample_rate.argtypes = [ctypes.c_void_p,
+                                               ctypes.c_double]
+        lib.hackrf_set_freq.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.hackrf_set_sample_rate(dev, float(self._rate))
+        lib.hackrf_set_freq(dev, int(args.sdr_rf_freq))
+        lib.hackrf_set_lna_gain(dev, int(getattr(args, "hackrf_lna_gain", 16)))
+        lib.hackrf_set_vga_gain(dev, int(getattr(args, "hackrf_vga_gain", 0)))
+        if getattr(args, "hackrf_amp_enable", False):
+            lib.hackrf_set_amp_enable(dev, 1)
+        if getattr(args, "sdr_bias_t", False):
+            lib.hackrf_set_antenna_enable(dev, 1)
+        return SourceInfo(sample_rate=self._rate, sample_format="cs8",
+                          total_frames=None)
 
-class BladeRfInput(_DriverGated):
+    def _start_hardware(self) -> None:
+        def cb(transfer_ptr):
+            t = transfer_ptr.contents
+            n = t.valid_length
+            if n > 0 and not self._stop.is_set():
+                self._deliver(ctypes.string_at(t.buffer, n))
+            return 0 if not self._stop.is_set() else 1
+
+        # keep the CFUNCTYPE object alive for the stream's lifetime
+        self._cb = _HACKRF_RX_CB(cb)
+        if self._lib.hackrf_start_rx(self._dev, self._cb, None) != 0:
+            raise ValueError("hackrf_start_rx failed")
+
+    def close(self) -> None:
+        super().close()
+        dev = getattr(self, "_dev", None)
+        if dev is not None:
+            self._dev = None
+            try:
+                self._lib.hackrf_stop_rx(dev)
+                if getattr(self._args, "sdr_bias_t", False):
+                    self._lib.hackrf_set_antenna_enable(dev, 0)
+                self._lib.hackrf_close(dev)
+                self._lib.hackrf_exit()
+            except Exception:
+                pass  # device teardown is best-effort on exit
+
+    def summary(self) -> dict:
+        return {"HackRF Rate": f"{self._rate:.0f} Hz"}
+
+
+class BladeRfInput(_SdrInputBase):
+    """Sync-RX capture via libbladeRF (input_bladerf.c: sync interface with
+    adaptive stream profiles by rate; FPGA load; sc16q11 or cs8)."""
+
     name = "bladerf"
     native_format = "sc16q11"              # input_bladerf.c:431
     default_rate = 2_000_000.0
-    driver_lib = "bladeRF"
+
+    # libbladeRF enums (bladeRF.h): channel macro (ch << 1) | RX(0),
+    # formats SC16_Q11 = 0, SC8_Q7 = 2
+    _FMT_SC16_Q11 = 0
+    _FMT_SC8_Q7 = 2
 
     @classmethod
     def add_cli_options(cls, parser) -> None:
@@ -358,6 +446,99 @@ class BladeRfInput(_DriverGated):
                        default=12,
                        help="Capture bit depth; 8-bit is BladeRF 2.0 only, "
                             "auto-selected above 61.44 MHz")
+
+    def initialize(self, config, args) -> SourceInfo:
+        self._common_init(args)
+        libname = ctypes.util.find_library("bladeRF")
+        if not libname:
+            raise ValueError(
+                "bladerf input: libbladeRF not found on this host. TPU "
+                "hosts have no USB radio hardware; use the spyserver-client "
+                "input to stream from a remote SDR instead.")
+        lib = ctypes.CDLL(libname)
+        self._lib = lib
+        self._args = args
+        if bladerf_needs_oversample(self._rate):
+            raise ValueError(
+                f"rates above 61.44 MHz need the oversample feature "
+                f"(input_bladerf.c:389-399), not wired here; got {self._rate}")
+        from iq_tool_tpu.formats import get_format
+        bits = int(getattr(args, "bladerf_bit_depth", 12) or 12)
+        self._fmt = get_format("cs8" if bits == 8 else "sc16q11")
+        dev = ctypes.c_void_p()
+        if lib.bladerf_open(ctypes.byref(dev), None) != 0:
+            raise ValueError("no BladeRF device could be opened")
+        self._dev = dev
+        fpga = getattr(args, "bladerf_load_fpga", None)
+        if fpga:
+            if lib.bladerf_load_fpga(dev, fpga.encode()) != 0:
+                raise ValueError(f"FPGA load failed: {fpga}")
+        ch = (int(getattr(args, "bladerf_channel", 0) or 0) << 1) | 0
+        self._ch = ch
+        lib.bladerf_set_frequency.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                              ctypes.c_uint64]
+        actual = ctypes.c_uint()
+        lib.bladerf_set_sample_rate(dev, ch, int(self._rate),
+                                    ctypes.byref(actual))
+        if actual.value:
+            self._rate = float(actual.value)
+        lib.bladerf_set_frequency(dev, ch, int(args.sdr_rf_freq))
+        bw = getattr(args, "bladerf_bandwidth", None)
+        if bw:
+            lib.bladerf_set_bandwidth(dev, ch, int(bw), None)
+        gain = getattr(args, "bladerf_gain", None)
+        if gain is not None:
+            lib.bladerf_set_gain_mode(dev, ch, 0)     # MGC
+            lib.bladerf_set_gain(dev, ch, int(gain))
+        if getattr(args, "sdr_bias_t", False):
+            lib.bladerf_set_bias_tee(dev, ch, 1)
+        # adaptive stream profile by rate (input_bladerf.c:537-595)
+        prof = bladerf_stream_profile(self._rate)
+        fmt_enum = self._FMT_SC8_Q7 if bits == 8 else self._FMT_SC16_Q11
+        rx_x1 = 0                     # bladerf_channel_layout BLADERF_RX_X1
+        if lib.bladerf_sync_config(dev, rx_x1, fmt_enum,
+                                   prof["num_buffers"], prof["buffer_size"],
+                                   prof["num_transfers"], 1000) != 0:
+            raise ValueError("bladerf_sync_config failed")
+        if lib.bladerf_enable_module(dev, ch, 1) != 0:
+            raise ValueError("bladerf_enable_module failed")
+        self._xfer = bladerf_transfer_samples(self._rate)
+        return SourceInfo(sample_rate=self._rate,
+                          sample_format=self._fmt.name, total_frames=None)
+
+    def _start_hardware(self) -> None:
+        def reader():
+            bpf = self._fmt.bytes_per_frame
+            n = self._xfer
+            buf = (ctypes.c_ubyte * (n * bpf))()
+            while not self._stop.is_set():
+                dev = self._dev
+                if dev is None:
+                    break
+                if self._lib.bladerf_sync_rx(dev, buf, n, None, 2000) != 0:
+                    break
+                self._deliver(ctypes.string_at(buf, n * bpf))
+            self._ring.signal_end_of_stream()
+
+        threading.Thread(target=reader, daemon=True,
+                         name="bladerf-rx").start()
+
+    def close(self) -> None:
+        super().close()
+        dev = getattr(self, "_dev", None)
+        if dev is not None:
+            self._dev = None
+            try:
+                self._lib.bladerf_enable_module(dev, self._ch, 0)
+                if getattr(self._args, "sdr_bias_t", False):
+                    self._lib.bladerf_set_bias_tee(dev, self._ch, 0)
+                self._lib.bladerf_close(dev)
+            except Exception:
+                pass  # device teardown is best-effort on exit
+
+    def summary(self) -> dict:
+        return {"BladeRF Rate": f"{self._rate:.0f} Hz",
+                "BladeRF Format": self._fmt.name}
 
 
 ALL = [RtlSdrInput, SdrPlayInput, HackRfInput, BladeRfInput]

@@ -299,3 +299,132 @@ def test_rtlsdr_mock_driver(monkeypatch):
     assert "rtlsdr_cancel_async" in calls and "rtlsdr_close" in calls
     # bias-T disabled on the way out
     assert calls.count("rtlsdr_set_bias_tee") == 2
+
+
+def test_hackrf_mock_driver(monkeypatch):
+    """HackRF ctypes plumbing: configure, async callback -> ring, teardown."""
+    import ctypes
+    import ctypes.util
+
+    from iq_tool_tpu.modules.input_sdr import HackRfInput, _HackRfTransfer
+
+    calls = []
+    holder = {}
+
+    class FakeLib:
+        def __getattr__(self, name):
+            def fn(*a):
+                calls.append(name)
+                if name == "hackrf_open":
+                    a[0]._obj.value = 77
+                    return 0
+                if name == "hackrf_start_rx":
+                    holder["cb"] = a[1]
+                    return 0
+                return 0
+            return fn
+
+    monkeypatch.setattr(ctypes.util, "find_library", lambda n: "fake_hackrf")
+    monkeypatch.setattr(ctypes, "CDLL", lambda path: FakeLib())
+
+    class Args:
+        sdr_rf_freq = 100e6
+        sdr_sample_rate = 10_000_000.0
+        sdr_bias_t = True
+        hackrf_lna_gain = 24
+        hackrf_vga_gain = 8
+        hackrf_amp_enable = True
+
+        def __getattr__(self, _):
+            return None
+
+    mod = HackRfInput()
+    info = mod.initialize(None, Args())
+    assert info.sample_format == "cs8"
+    assert {"hackrf_set_lna_gain", "hackrf_set_vga_gain",
+            "hackrf_set_amp_enable",
+            "hackrf_set_antenna_enable"} <= set(calls)
+    gen = mod.blocks(1024)
+    # deliver two fake transfers through the registered callback
+    import threading
+
+    def pump():
+        buf = (ctypes.c_ubyte * 4096)(*([3] * 4096))
+        t = _HackRfTransfer(device=None, buffer=buf, buffer_length=4096,
+                            valid_length=4096)
+        for _ in range(2):
+            holder["cb"](ctypes.pointer(t))
+        mod._ring.signal_end_of_stream()
+
+    blk = None
+    th = threading.Thread(target=pump)
+    # start hardware happens on first next(); pump after it registers
+    import time as _t
+    def delayed():
+        while "cb" not in holder:
+            _t.sleep(0.01)
+        pump()
+    th = threading.Thread(target=delayed)
+    th.start()
+    got = bytearray()
+    for blk in gen:
+        got.extend(blk.payload)
+    th.join()
+    assert len(got) == 8192 and set(got) == {3}
+    mod.close()
+    assert "hackrf_stop_rx" in calls and "hackrf_close" in calls
+
+
+def test_bladerf_mock_driver(monkeypatch):
+    """BladeRF ctypes plumbing: profile config, sync RX loop, teardown."""
+    import ctypes
+    import ctypes.util
+
+    from iq_tool_tpu.modules.input_sdr import BladeRfInput
+
+    calls = []
+
+    class FakeLib:
+        def __getattr__(self, name):
+            def fn(*a):
+                calls.append(name)
+                if name == "bladerf_open":
+                    a[0]._obj.value = 99
+                    return 0
+                if name == "bladerf_set_sample_rate":
+                    ctypes.cast(a[3], ctypes.POINTER(ctypes.c_uint)) \
+                        .contents.value = int(a[2])
+                    return 0
+                if name == "bladerf_sync_rx":
+                    if calls.count("bladerf_sync_rx") > 2:
+                        return -1
+                    ctypes.memset(a[1], 9, 1024)
+                    return 0
+                return 0
+            return fn
+
+    monkeypatch.setattr(ctypes.util, "find_library", lambda n: "fake_bladerf")
+    monkeypatch.setattr(ctypes, "CDLL", lambda path: FakeLib())
+
+    class Args:
+        sdr_rf_freq = 433e6
+        sdr_sample_rate = 2_000_000.0
+        bladerf_gain = 30
+        bladerf_bit_depth = 12
+
+        def __getattr__(self, _):
+            return None
+
+    mod = BladeRfInput()
+    info = mod.initialize(None, Args())
+    assert info.sample_format == "sc16q11"
+    assert {"bladerf_sync_config", "bladerf_enable_module",
+            "bladerf_set_gain_mode", "bladerf_set_gain"} <= set(calls)
+    got = bytearray()
+    for blk in mod.blocks(128):
+        got.extend(blk.payload)
+        if len(got) >= 1024:
+            break
+    assert len(got) >= 1024
+    mod.close()
+    assert "bladerf_close" in calls
