@@ -54,7 +54,7 @@ AGC_DIGITAL_CREEP_THRESH = 0.75     # creep while peak < 75% of target
 AGC_SEGMENT = 128                   # samples per gain-update segment on TPU
 
 # ---- Resampler framing -------------------------------------------------------
-RESAMP_SEMILENGTH = 12              # taps per output = 2*semilength
+RESAMP_SEMILENGTH = 16              # taps per output = 2*semilength (matmul form makes longer kernels ~free; +4 dB margin)
 RESAMP_FC_FACTOR = 0.90             # cutoff margin (fraction of min Nyquist)
 RESAMP_MAX_DENOM = 65536            # Farey limit when rationalizing ratios
 RESAMP_STAGE_MAX = 512              # max p_i/q_i factor per cascade stage

