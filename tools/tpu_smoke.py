@@ -122,6 +122,41 @@ def main() -> int:
         check("full chain (iq+pass-range+notch+AGC)", False, f"cli rc={rc}")
 
     if not opts.quick:
+        # WAV in (SDR#-style filename metadata) -> RF64 out
+        import struct
+        wav_in = os.path.join(tmp, "SDRSharp_20260101_000000Z_98500000Hz_IQ.wav")
+        n = 1 << 17
+        t = np.arange(n) / RATE_IN
+        x = 0.4 * np.exp(2j * np.pi * 150e3 * t)
+        iq = np.empty((n, 2), np.int16)
+        iq[:, 0] = np.round(x.real * 32767)
+        iq[:, 1] = np.round(x.imag * 32767)
+        data = iq.tobytes()
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, int(RATE_IN),
+                                     int(RATE_IN) * 4, 4, 16)
+        hdr += b"data" + struct.pack("<I", len(data))
+        with open(wav_in, "wb") as f:
+            f.write(hdr + data)
+        wav_out = os.path.join(tmp, "out.wav")
+        rc = run_cli([wav_in, wav_out, "-i", "wav", "-o", "wav",
+                      "--output-rate", str(RATE_OUT),
+                      "--lowpass", "400000", "--force-overwrite"])
+        ok = rc == 0 and open(wav_out, "rb").read(4) == b"RF64"
+        check("wav -> rf64", ok, f"rc={rc}")
+
+        # synthetic SDR source through the buffered IQPK capture path
+        tone_out = os.path.join(tmp, "tone_out.raw")
+        rc = run_cli(["/dev/null", tone_out, "-i", "tone", "-o", "raw",
+                      "--tone-rate", str(int(RATE_IN)),
+                      "--tone-freq", "200e3", "--tone-seconds", "0.25",
+                      "--tone-format", "cu8",
+                      "--output-rate", str(RATE_OUT),
+                      "--output-sample-format", "cs16",
+                      "--lowpass", "400000", "--sdr-buffered",
+                      "--no-watchdog", "--force-overwrite"])
+        check("tone source, buffered IQPK capture", rc == 0, f"rc={rc}")
+
         from iq_tool_tpu.formats import complex_formats
         floors = {"cu8": 38.0, "cs8": 38.0, "sc16q11": 60.0}
         for fmt in complex_formats():
