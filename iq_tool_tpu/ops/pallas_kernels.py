@@ -94,26 +94,33 @@ def plan(stride: int, hist: int, g: int, nb: int, ch: int):
     return None
 
 
+def _shift_rows(b_ref, h_ref, st_ref, *, cb, tb, s, hist):
+    """(rows, prev_rows) for the shift formulation: window row j =
+    [tail of row j-1, row j].  Row -1 comes from the left halo (or the
+    carried state on the first time tile, spliced into its tail lanes;
+    the splice's leading lanes hit A1's zero rows)."""
+    i = pl.program_id(1)
+    rows = b_ref[...].reshape(cb, tb, s)
+    halo_row = h_ref[:, h_ref.shape[-1] - s:]
+    state_row = jnp.concatenate(
+        [jnp.zeros((cb, s - hist), rows.dtype), st_ref[...]], axis=-1)
+    prev0 = jnp.where(i == 0, state_row, halo_row)
+    prev_rows = jnp.concatenate([prev0[:, None, :], rows[:, :-1, :]],
+                                axis=1)
+    return rows, prev_rows
+
+
 def _shift_kernel(xr_b, xr_h, xr_st, xi_b, xi_h, xi_st, a1, a2,
                   out_r, out_i, *, tb, s, hist, g):
-    """Fast path (hist <= s, s lane-aligned): window row j = [tail of row
-    j-1, row j], so win @ A = prev_rows @ A1 + rows @ A2 with A split at
-    the history boundary — two clean matmuls, zero lane-granular
-    shuffling.  Row -1 comes from the left halo (or the carried state on
-    the first time tile, spliced into its tail lanes; the splice's
-    leading lanes hit A1's zero rows)."""
+    """Fast path (hist <= s, s lane-aligned): win @ A = prev_rows @ A1 +
+    rows @ A2 with A split at the history boundary — two clean matmuls,
+    zero lane-granular shuffling (see _shift_rows)."""
     cb = xr_b.shape[0]
-    i = pl.program_id(1)
     a1m, a2m = a1[...], a2[...]
 
     def plane(b_ref, h_ref, st_ref):
-        rows = b_ref[...].reshape(cb, tb, s)
-        halo_row = h_ref[:, h_ref.shape[-1] - s:]
-        state_row = jnp.concatenate(
-            [jnp.zeros((cb, s - hist), rows.dtype), st_ref[...]], axis=-1)
-        prev0 = jnp.where(i == 0, state_row, halo_row)
-        prev_rows = jnp.concatenate([prev0[:, None, :], rows[:, :-1, :]],
-                                    axis=1)
+        rows, prev_rows = _shift_rows(b_ref, h_ref, st_ref,
+                                      cb=cb, tb=tb, s=s, hist=hist)
         return (_mm(prev_rows, a1m, cb, tb, g)
                 + _mm(rows, a2m, cb, tb, g))
 
@@ -125,20 +132,8 @@ def _shift_kernel_complex(xr_b, xr_h, xr_st, xi_b, xi_h, xi_st,
                           a1r, a2r, a1i, a2i, out_r, out_i,
                           *, tb, s, hist, g):
     cb = xr_b.shape[0]
-    i = pl.program_id(1)
-
-    def rows_of(b_ref, h_ref, st_ref):
-        rows = b_ref[...].reshape(cb, tb, s)
-        halo_row = h_ref[:, h_ref.shape[-1] - s:]
-        state_row = jnp.concatenate(
-            [jnp.zeros((cb, s - hist), rows.dtype), st_ref[...]], axis=-1)
-        prev0 = jnp.where(i == 0, state_row, halo_row)
-        prev_rows = jnp.concatenate([prev0[:, None, :], rows[:, :-1, :]],
-                                    axis=1)
-        return rows, prev_rows
-
-    rr, pr = rows_of(xr_b, xr_h, xr_st)
-    ri, pi_ = rows_of(xi_b, xi_h, xi_st)
+    rr, pr = _shift_rows(xr_b, xr_h, xr_st, cb=cb, tb=tb, s=s, hist=hist)
+    ri, pi_ = _shift_rows(xi_b, xi_h, xi_st, cb=cb, tb=tb, s=s, hist=hist)
 
     def conv(rows, prev, m1, m2):
         return _mm(prev, m1, cb, tb, g) + _mm(rows, m2, cb, tb, g)

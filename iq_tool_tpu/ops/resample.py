@@ -44,6 +44,7 @@ import numpy as np
 
 from iq_tool_tpu import constants as C
 from iq_tool_tpu.ops import banded
+from iq_tool_tpu.ops.fir_design import kaiser_beta as _kaiser_beta
 
 
 def rationalize(ratio: float, max_denom: int = C.RESAMP_MAX_DENOM) -> tuple[int, int]:
@@ -54,15 +55,6 @@ def rationalize(ratio: float, max_denom: int = C.RESAMP_MAX_DENOM) -> tuple[int,
             f"[{C.RESAMPLE_RATIO_MIN}, {C.RESAMPLE_RATIO_MAX}] (setup.c:106-113)")
     fr = Fraction(ratio).limit_denominator(max_denom)
     return fr.numerator, fr.denominator
-
-
-def _kaiser_beta(atten_db: float) -> float:
-    a = float(atten_db)
-    if a > 50.0:
-        return 0.1102 * (a - 8.7)
-    if a > 21.0:
-        return 0.5842 * (a - 21.0) ** 0.4 + 0.07886 * (a - 21.0)
-    return 0.0
 
 
 def _kernel(t: np.ndarray, fc: float, semilen: int, beta: float) -> np.ndarray:
@@ -176,15 +168,11 @@ class _MatmulStage:
         (input-side convolution extends the window left by K-1)."""
         k = len(taps)
         l_old, g = self._a.shape
-        parts = [self._a, self._a_i if self._a_i is not None
-                 else np.zeros_like(self._a)]
-        outs = []
-        for a in parts:
-            a_c = np.zeros((l_old + k - 1, g), np.complex128)
-            for j in range(k):
-                a_c[k - 1 - j:k - 1 - j + l_old, :] += taps[j] * a
-            outs.append(a_c)
-        a_new = outs[0] + 1j * outs[1]
+        a_old = (self._a.astype(np.complex128)
+                 + (1j * self._a_i if self._a_i is not None else 0))
+        a_new = np.zeros((l_old + k - 1, g), np.complex128)
+        for j in range(k):
+            a_new[k - 1 - j:k - 1 - j + l_old, :] += taps[j] * a_old
         self.hist += k - 1
         self._a = np.ascontiguousarray(a_new.real.astype(np.float32))
         self._a_i = (np.ascontiguousarray(a_new.imag.astype(np.float32))
