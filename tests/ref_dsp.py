@@ -15,13 +15,6 @@ _NORM = {
     "cs32": 1 / 2147483648.0, "cu32": 1 / 2147483648.0,
 }
 _OFF = {"cu8": 127.5, "cu16": 32767.5, "cu32": 2147483647.5}
-_NPDT = {
-    "cs8": np.int8, "cu8": np.uint8, "cs16": np.int16, "cu16": np.uint16,
-    "sc16q11": np.int16, "cs32": np.int32, "cu32": np.uint32,
-    "cf32": np.float32,
-}
-
-
 def to_cf32(raw: np.ndarray, fmt: str, gain: float = 1.0) -> np.ndarray:
     """sample_convert.c:127-202 in numpy."""
     if fmt == "cf32":

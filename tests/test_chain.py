@@ -50,7 +50,7 @@ def test_full_chain_tone_fidelity():
     # expected output tone at (f_tone + shift) at the output rate
     spec = np.abs(np.fft.fft(y * np.hanning(len(y))))
     f_axis = np.fft.fftfreq(len(y), 1 / fs_out)
-    peak_f = abs(f_axis[np.argmax(spec)])
+    peak_f = f_axis[np.argmax(spec)]   # SIGNED: catches conjugated NCO
     assert abs(peak_f - (f_tone + shift)) < fs_out / len(y) * 4
     # amplitude preserved within 0.5 dB
     amp = spec.max() / np.sum(np.hanning(len(y)))
@@ -82,13 +82,16 @@ def test_reset_flag_resets_stream_state(rng):
                       dc_block=True, target_block=4096)
     ch = Chain(cfg)
     raw = rng.integers(-2 ** 15, 2 ** 15, (1, ch.in_wire_len), np.int16)
-    c0 = ch.init_carry()
-    c1, out1 = ch.step(c0, raw, np.False_)
-    # a reset step must behave exactly like a fresh stream
-    c2, out2 = ch.step(c1, raw, np.True_)
+    # mid-stream state, then a step with vs without the reset flag
+    c1, _ = ch.step(ch.init_carry(), raw, np.False_)
+    _, out_reset = ch.step(c1, raw, np.True_)
+    c1b, _ = ch.step(ch.init_carry(), raw, np.False_)   # rebuild (donated)
+    _, out_cont = ch.step(c1b, raw, np.False_)
+    # a reset step must behave exactly like a fresh stream ...
     _, out_fresh = ch.step(ch.init_carry(), raw, np.False_)
-    np.testing.assert_array_equal(np.asarray(out2), np.asarray(out_fresh))
-    assert not np.array_equal(np.asarray(out2), np.asarray(out1)) or True
+    np.testing.assert_array_equal(np.asarray(out_reset), np.asarray(out_fresh))
+    # ... and genuinely differs from continuing the stream
+    assert not np.array_equal(np.asarray(out_reset), np.asarray(out_cont))
 
 
 def test_multichannel_batch(rng):

@@ -1,7 +1,5 @@
 """End-to-end CLI: file -> file flows, presets, passthrough, wav container."""
 
-import struct
-import sys
 
 import numpy as np
 import pytest
@@ -246,8 +244,6 @@ def test_checkpoint_resume_wav_output(tmp_path):
 
 def test_preset_name_as_flag_errors_helpfully(tmp_path, monkeypatch, capsys):
     """cli.c:38-45: '--cu8-nrsc5' must explain presets, not just 'unrecognized'."""
-    import pytest
-
     from iq_tool_tpu import cli
     with pytest.raises(SystemExit):
         cli.main(["-i", "raw-file", "-o", "raw", "--cu8-nrsc5"])

@@ -8,7 +8,6 @@ from iq_tool_tpu.formats import FORMATS, get_format
 from iq_tool_tpu.ops import convert
 from tests import ref_dsp
 
-COMPLEX_FMTS = [n for n, f in FORMATS.items() if f.is_complex]
 EXACT_IN = ["cs8", "cu8", "cs16", "cu16", "sc16q11", "cs24", "cf32"]
 EXACT_OUT = ["cs8", "cu8", "cs16", "cu16", "sc16q11", "cs24", "cf32"]
 

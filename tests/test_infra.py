@@ -356,15 +356,19 @@ def test_hackrf_mock_driver(monkeypatch):
             holder["cb"](ctypes.pointer(t))
         mod._ring.signal_end_of_stream()
 
-    blk = None
-    th = threading.Thread(target=pump)
-    # start hardware happens on first next(); pump after it registers
+    # start hardware happens on first next(); pump after the callback
+    # registers (bounded wait so a registration failure can't hang pytest)
     import time as _t
+
     def delayed():
-        while "cb" not in holder:
+        for _ in range(500):
+            if "cb" in holder:
+                pump()
+                return
             _t.sleep(0.01)
-        pump()
-    th = threading.Thread(target=delayed)
+        mod._ring.signal_end_of_stream()
+
+    th = threading.Thread(target=delayed, daemon=True)
     th.start()
     got = bytearray()
     for blk in gen:

@@ -125,11 +125,12 @@ def test_discontinuity_drains_pregap_remainder(rng):
 
     class GappySource(FakeSource):
         def blocks(self, frames_per_block: int):
-            yield Block(payload[:half])                      # partial block
-            yield Block(payload[half:], discontinuity=True)  # gap before this
+            yield Block(self._payload[:half])                # partial block
+            yield Block(self._payload[half:],
+                        discontinuity=True)                  # gap before this
 
     sink = FakeSink()
-    s = StreamEngine(chain, GappySource(b"", []), sink).run()
+    s = StreamEngine(chain, GappySource(payload, []), sink).run()
     # pre-gap half (n_in/2 frames) + post-gap rest all accounted for
     assert s.frames_in == len(payload) // 4
     assert s.frames_out * 4 == len(sink.data)

@@ -88,7 +88,7 @@ def test_channel_sharded_matches_single(rng):
     single = Chain(ChainConfig(**{**cfg.__dict__, "channels": 1,
                                   "target_block": sc.local.cfg.target_block}))
     for ch in range(0, 4, 3):   # spot-check first and last channel
-        carry = single.step.__wrapped__ if False else single.init_carry()
+        carry = single.init_carry()
         outs = []
         for raw in raws:
             for j in range(2):
