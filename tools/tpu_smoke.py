@@ -60,10 +60,13 @@ def out_snr(path: str, fmt: str, rate: float, skip: int = 20000):
 
 
 def run_cli(args: list[str]) -> int:
-    return subprocess.run(
-        [sys.executable, "-m", "iq_tool_tpu", *args],
-        cwd=os.path.join(os.path.dirname(__file__), ".."),
-        capture_output=True, text=True, timeout=560).returncode
+    try:
+        return subprocess.run(
+            [sys.executable, "-m", "iq_tool_tpu", *args],
+            cwd=os.path.join(os.path.dirname(__file__), ".."),
+            capture_output=True, text=True, timeout=560).returncode
+    except subprocess.TimeoutExpired:
+        return -9   # report as a failing check, not a crashed suite
 
 
 def main() -> int:
