@@ -96,6 +96,7 @@ class _SdrInputBase(InputModule):
         self._reset_pending = False
         self._dropped = 0
         self._dropped_warns = 0
+        self._reader_thread: threading.Thread | None = None
 
     def _common_init(self, args) -> None:
         from iq_tool_tpu.formats import get_format
@@ -184,6 +185,23 @@ class _SdrInputBase(InputModule):
     def _start_hardware(self) -> None:
         raise NotImplementedError
 
+    def _join_reader(self, timeout: float = 3.0) -> bool:
+        """Wait for the reader thread to exit so the device handle cannot be
+        freed while a blocking read is (about to be) running on it — the
+        shutdown-time use-after-free the round-1 advisor flagged.  Returns
+        False if the thread is stuck in the driver; callers must then LEAK
+        the handle rather than free it under the blocked read."""
+        t = self._reader_thread
+        if t is not None and t.is_alive():
+            t.join(timeout)
+            if t.is_alive():
+                from iq_tool_tpu.utils.log import get_logger
+                get_logger(self.name).warning(
+                    "reader thread stuck in driver read; leaking device "
+                    "handle instead of freeing it mid-read")
+                return False
+        return True
+
     def close(self) -> None:
         self._stop.set()
         self._ring.signal_shutdown()
@@ -246,11 +264,19 @@ class RtlSdrInput(_SdrInputBase):
         super().close()
         dev = getattr(self, "_dev", None)
         if dev is not None:
+            try:
+                # unblock any in-flight read, then wait for the reader to
+                # exit BEFORE freeing the handle (signal_handler.c:104-147
+                # rtlsdr special-case + join semantics)
+                self._lib.rtlsdr_cancel_async(dev)
+            except Exception:
+                pass
+            if not self._join_reader():
+                return                     # leak rather than free mid-read
             self._dev = None
             try:
                 if getattr(self._args, "sdr_bias_t", False):
                     self._lib.rtlsdr_set_bias_tee(dev, 0)
-                self._lib.rtlsdr_cancel_async(dev)
                 self._lib.rtlsdr_close(dev)
             except Exception:
                 pass  # device teardown is best-effort on exit
@@ -260,10 +286,8 @@ class RtlSdrInput(_SdrInputBase):
             n_read = ctypes.c_int(0)
             buflen = 16384 * 2
             buf = (ctypes.c_ubyte * buflen)()
+            dev = self._dev
             while not self._stop.is_set():
-                dev = self._dev            # close() may null it under us
-                if dev is None:
-                    break
                 r = self._lib.rtlsdr_read_sync(dev, buf, buflen,
                                                ctypes.byref(n_read))
                 if r != 0:
@@ -271,7 +295,9 @@ class RtlSdrInput(_SdrInputBase):
                 self._deliver(bytes(buf[: n_read.value]))
             self._ring.signal_end_of_stream()
 
-        threading.Thread(target=reader, daemon=True, name="rtlsdr-rx").start()
+        self._reader_thread = threading.Thread(target=reader, daemon=True,
+                                               name="rtlsdr-rx")
+        self._reader_thread.start()
 
     def summary(self) -> dict:
         return {"RTL-SDR Rate": f"{self._rate:.0f} Hz"}
@@ -511,22 +537,25 @@ class BladeRfInput(_SdrInputBase):
             bpf = self._fmt.bytes_per_frame
             n = self._xfer
             buf = (ctypes.c_ubyte * (n * bpf))()
+            dev = self._dev
             while not self._stop.is_set():
-                dev = self._dev
-                if dev is None:
-                    break
                 if self._lib.bladerf_sync_rx(dev, buf, n, None, 2000) != 0:
                     break
                 self._deliver(ctypes.string_at(buf, n * bpf))
             self._ring.signal_end_of_stream()
 
-        threading.Thread(target=reader, daemon=True,
-                         name="bladerf-rx").start()
+        self._reader_thread = threading.Thread(target=reader, daemon=True,
+                                               name="bladerf-rx")
+        self._reader_thread.start()
 
     def close(self) -> None:
         super().close()
         dev = getattr(self, "_dev", None)
         if dev is not None:
+            # bladerf_sync_rx has a 2 s timeout, so the reader observes
+            # _stop within one timeout; join before freeing the handle
+            if not self._join_reader():
+                return                     # leak rather than free mid-read
             self._dev = None
             try:
                 self._lib.bladerf_enable_module(dev, self._ch, 0)

@@ -341,9 +341,14 @@ class Resampler:
         self.stages: list = []
         fallback = ratios is None
         if fallback and p != q:
-            # rationalization hit a large prime: single exact gather stage
+            # rationalization hit a large prime: single exact gather stage.
+            # Deep decimation needs the same semilength scaling _MatmulStage
+            # applies, else the anti-alias transition band is far too wide
+            # (measured ~11 dB alias rejection vs the 60 dB contract for
+            # e.g. 2469/200000 with the unscaled semilength).
+            m = max(semilength, int(np.ceil(semilength * q / (2.0 * p))))
             self.stages.append(
-                _ArbStage(_make_arb_plan(p, q, n_in, atten_db, semilength)))
+                _ArbStage(_make_arb_plan(p, q, n_in, atten_db, m)))
             ratios = [(p, q)]
         elif p != q:
             n_s = n_in

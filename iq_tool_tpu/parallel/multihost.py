@@ -23,8 +23,20 @@ from iq_tool_tpu.parallel.sharded import ShardedChain, make_mesh
 
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
-               process_id: int | None = None) -> None:
-    """Connect this process to the multi-host job (no-op when single)."""
+               process_id: int | None = None,
+               cpu_proxy_devices: int | None = None) -> None:
+    """Connect this process to the multi-host job (no-op when single).
+
+    ``cpu_proxy_devices``: when set, configure this process's CPU backend
+    with that many virtual devices and Gloo cross-process collectives —
+    the no-TPU-pod proxy used by tests/test_multihost.py and
+    tools/multihost_scaling.py (SURVEY.md section 4 item 4).  On real TPU
+    hosts leave it None; device counts come from the hardware.  Must be
+    called before any JAX backend initializes.
+    """
+    if cpu_proxy_devices:
+        jax.config.update("jax_num_cpu_devices", cpu_proxy_devices)
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     if num_processes is None or num_processes <= 1:
         return
     jax.distributed.initialize(coordinator_address=coordinator_address,

@@ -1,20 +1,35 @@
-"""Host streaming engine: feeds the compiled chain from an input module and
-drains it into an output module.
+"""Host streaming engine: feeds the compiled chain from input module(s) and
+drains it into output module(s).
 
-Replaces the reference's thread pipeline + queues + rings (pipeline.c):
-JAX's async dispatch IS the pipeline — while the device runs block k, the
-host reads ahead and keeps up to ``pipeline_depth`` device steps in
-flight before forcing a readback, so dispatch/readback latency (large on
-remote PJRT links) is amortized across the queue instead of paid per
-block.  EOS pads the final partial block and trims the output to exactly
-floor(valid_in * P/Q) frames; stream discontinuities set the step's reset
-flag (pipeline.c:458-464 semantics).
+Replaces the reference's thread pipeline + queues + rings (pipeline.c)
+with three host threads around the XLA device queue:
+
+  reader thread  ->  bounded chunk queue (HOST_QUEUE_DEPTH)
+      -> main thread: device_put + step dispatch (async under JAX)
+  -> bounded output queue (pipeline_depth)  ->  writer thread: readback
+      + sink writes
+
+so source I/O, device compute, and sink I/O all overlap — the
+pipeline.c:96-116 reader/writer overlap semantics — while output bytes
+stay identical at any queue depth (FIFO order end to end).  EOS pads the
+final partial block and trims the output to exactly floor(valid_in * P/Q)
+frames; stream discontinuities set the step's reset flag
+(pipeline.c:458-464 semantics).
+
+Multi-channel (BASELINE config #5): N sources + N sinks drive a
+``channels=N`` chain (or a ShardedChain over a device mesh); channel c's
+bytes are byte-identical to an independent single-channel run.  Channels
+advance in lockstep, so a multi-channel stream ends at the SHORTEST
+channel and a discontinuity on ANY channel resets the whole chain at the
+next block boundary (single-channel keeps the exact pre-gap short-block
+drain semantics).
 """
 
 from __future__ import annotations
 
-import collections
 import dataclasses
+import queue as queue_mod
+import threading
 import time
 
 import jax
@@ -40,9 +55,123 @@ class StreamSummary:
         return self.bytes_out / 1e6 / self.duration_sec
 
 
+class _Writer:
+    """Drains (device_array, emit_frames) items in FIFO order: forces the
+    readback, splits per channel, writes each sink.  The bounded queue is
+    the device pipeline: up to ``depth`` steps stay in flight before the
+    oldest readback is forced (reference writer thread + 1 GB ring,
+    pipeline.c:418-434, sized WRITER_QUEUE_DEPTH here)."""
+
+    def __init__(self, sinks, items_per_frame: int, bytes_per_item: int,
+                 summary: StreamSummary, depth: int):
+        self._sinks = sinks
+        self._items = items_per_frame
+        self._q = queue_mod.Queue(maxsize=max(1, depth))
+        self._summary = summary
+        self.closed = False            # an OutputClosed arrived
+        self.dropped = False           # items discarded after close
+        self.error: BaseException | None = None
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="iq-writer")
+        self._thread.start()
+
+    def put(self, dev, emit: int) -> None:
+        self._q.put((dev, emit))
+
+    def flush(self) -> None:
+        """Block until everything queued so far has been written (or
+        discarded after a close) — the consistent-cut point used by
+        checkpoints."""
+        self._q.join()
+
+    def stop(self) -> None:
+        self._q.put(None)
+        self._thread.join()
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                self._q.task_done()
+                return
+            dev, emit = item
+            try:
+                if self.closed:
+                    self.dropped = True
+                else:
+                    host = np.asarray(jax.device_get(dev))
+                    n_items = emit * self._items
+                    for c, sink in enumerate(self._sinks):
+                        sink.write(host[c, :n_items].tobytes())
+                    self._summary.frames_out += emit
+                    self._summary.bytes_out += (n_items * host.itemsize
+                                                * len(self._sinks))
+            except OutputClosed:
+                self.closed = True
+                self.dropped = True
+            except BaseException as e:      # surfaced on the main thread
+                self.error = e
+                self.closed = True
+            finally:
+                self._q.task_done()
+
+
+class _Reader:
+    """Pumps assembled chunks from a generator into a bounded queue so
+    source I/O overlaps device dispatch (reference reader thread,
+    pipeline.c:334-416)."""
+
+    _EOS = ("eos", None, 0, False)
+
+    def __init__(self, gen, depth: int = C.HOST_QUEUE_DEPTH):
+        self._q = queue_mod.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+        self._gen = gen
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="iq-reader")
+        self._thread.start()
+
+    def get(self):
+        return self._q.get()
+
+    def stop(self) -> None:
+        self._stop.set()
+        # drain so a blocked put wakes up, then wait for exit
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue_mod.Empty:
+            pass
+        self._thread.join(timeout=5.0)
+
+    def _put(self, item) -> bool:
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.2)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
+    def _run(self) -> None:
+        try:
+            for item in self._gen:
+                if not self._put(("chunk",) + item):
+                    return
+        except BaseException as e:
+            self._put(("err", e, 0, False))
+            return
+        self._put(self._EOS)
+
+
 class StreamEngine:
-    def __init__(self, chain: Chain | None, source: InputModule,
-                 sink: OutputModule, raw_passthrough: bool = False,
+    """Single- or multi-channel streaming driver.
+
+    ``source``/``sink`` may each be a single module or a sequence of
+    ``channels`` modules (one stream per channel, lockstep)."""
+
+    def __init__(self, chain: Chain | None, source, sink,
+                 raw_passthrough: bool = False,
                  progress=None, progress_total_frames: int | None = None,
                  checkpoint_path: str | None = None,
                  checkpoint_interval_sec: float = 30.0,
@@ -52,8 +181,12 @@ class StreamEngine:
         if chain is None and not raw_passthrough:
             raise ValueError("need a chain unless raw_passthrough")
         self.chain = chain
-        self.source = source
-        self.sink = sink
+        self.sources = (list(source) if isinstance(source, (list, tuple))
+                        else [source])
+        self.sinks = (list(sink) if isinstance(sink, (list, tuple))
+                      else [sink])
+        self.source = self.sources[0]
+        self.sink = self.sinks[0]
         self.raw_passthrough = raw_passthrough
         self.progress = progress
         self.total_frames = progress_total_frames
@@ -62,6 +195,16 @@ class StreamEngine:
         self.resume = resume
         self.initial_carry = initial_carry
         self.pipeline_depth = max(1, pipeline_depth)
+        n_ch = len(self.sources)
+        if len(self.sinks) != n_ch:
+            raise ValueError(
+                f"{n_ch} sources need {n_ch} sinks, got {len(self.sinks)}")
+        if chain is not None and chain.cfg.channels != n_ch:
+            raise ValueError(
+                f"chain has channels={chain.cfg.channels} but "
+                f"{n_ch} source streams were given")
+        if raw_passthrough and n_ch != 1:
+            raise ValueError("raw passthrough is single-stream")
 
     # ---------------------------------------------------------------------
 
@@ -86,20 +229,97 @@ class StreamEngine:
         s.duration_sec = time.monotonic() - t0
         return s
 
+    # ----------------------------------------------------- chunk assembly
+
+    def _gen_single(self, block_bytes: int, bpf: int, skip_bytes: int):
+        """Single-channel chunk generator; keeps the exact pre-gap
+        short-block drain semantics for discontinuities."""
+        buf = bytearray()
+        pending_reset = False
+        src = self.sources[0].blocks(block_bytes // bpf)
+        while True:
+            block = next(src, None)
+            if block is None:
+                if buf:
+                    valid = len(buf) // bpf
+                    if valid:
+                        yield ([bytes(buf[:valid * bpf])], valid,
+                               pending_reset)
+                return
+            if block.discontinuity:
+                # drain the pre-gap remainder as its own (padded) short
+                # block FIRST — otherwise pre- and post-gap samples would
+                # be spliced into one chunk and resampled across the gap
+                if buf:
+                    valid = len(buf) // bpf
+                    if valid:
+                        yield [bytes(buf[:valid * bpf])], valid, pending_reset
+                    buf.clear()
+                pending_reset = True
+            payload = block.payload
+            if skip_bytes:              # resume on a non-seekable source
+                drop = min(skip_bytes, len(payload))
+                payload = payload[drop:]
+                skip_bytes -= drop
+            buf.extend(payload)
+            while len(buf) >= block_bytes:
+                yield [bytes(buf[:block_bytes])], block_bytes // bpf, \
+                    pending_reset
+                pending_reset = False
+                del buf[:block_bytes]
+
+    def _gen_multi(self, block_bytes: int, bpf: int, skip_bytes: int):
+        """Lockstep multi-channel chunk generator.  Ends at the shortest
+        channel; a discontinuity on any channel resets the whole chain at
+        the next block boundary (channels cannot drain pre-gap tails
+        independently without desynchronizing the batch)."""
+        n = len(self.sources)
+        bufs = [bytearray() for _ in range(n)]
+        iters = [s.blocks(block_bytes // bpf) for s in self.sources]
+        done = [False] * n
+        skips = [skip_bytes] * n
+        pending_reset = False
+        while True:
+            for c in range(n):
+                while len(bufs[c]) < block_bytes and not done[c]:
+                    block = next(iters[c], None)
+                    if block is None:
+                        done[c] = True
+                        break
+                    if block.discontinuity:
+                        pending_reset = True
+                    payload = block.payload
+                    if skips[c]:
+                        drop = min(skips[c], len(payload))
+                        payload = payload[drop:]
+                        skips[c] -= drop
+                    bufs[c].extend(payload)
+            if all(len(b) >= block_bytes for b in bufs):
+                yield ([bytes(b[:block_bytes]) for b in bufs],
+                       block_bytes // bpf, pending_reset)
+                pending_reset = False
+                for b in bufs:
+                    del b[:block_bytes]
+                continue
+            # at least one channel exhausted: emit the common tail
+            valid = min(len(b) // bpf for b in bufs)
+            if valid:
+                yield ([bytes(b[:valid * bpf]) for b in bufs], valid,
+                       pending_reset)
+            return
+
+    # ------------------------------------------------------------- chain
+
     def _run_chain(self) -> StreamSummary:
         ch = self.chain
         fmt = ch.fmt_in
         bpf = fmt.bytes_per_frame
         n_in = ch.n_in
+        n_channels = ch.cfg.channels
         block_bytes = n_in * bpf
 
-        if ch.cfg.channels != 1:
-            raise ValueError(
-                "StreamEngine drives ONE stream (the CLI surface); for "
-                "multi-channel batches call chain.step directly "
-                f"(got channels={ch.cfg.channels})")
         carry = (self.initial_carry if self.initial_carry is not None
-                 else ch.init_carry(1))
+                 else ch.init_carry(n_channels))
         s = StreamSummary()
 
         skip_frames = 0
@@ -112,57 +332,46 @@ class StreamEngine:
                                                       carry)
                 s.frames_in, s.frames_out = fin, fout
                 skip_frames = fin
-                if hasattr(self.source, "seek_frames"):
-                    self.source.seek_frames(fin)
+                if all(hasattr(src, "seek_frames") for src in self.sources):
+                    for src in self.sources:
+                        src.seek_frames(fin)
                     skip_frames = 0
                 # a crash between checkpoints leaves the sink AHEAD of the
                 # checkpointed cut: truncate so resume is sample-exact
                 # instead of duplicating the post-checkpoint stretch
-                if hasattr(self.sink, "truncate_to_frames"):
-                    self.sink.truncate_to_frames(
-                        fout, ch.fmt_out.bytes_per_frame)
+                for snk in self.sinks:
+                    if hasattr(snk, "truncate_to_frames"):
+                        snk.truncate_to_frames(fout,
+                                               ch.fmt_out.bytes_per_frame)
 
         t0 = time.monotonic()
         last_prog = t0
         last_ckpt = t0
+        # frames the writer has been ASKED to emit (>= s.frames_out until
+        # the writer catches up; equal after flush)
+        scheduled_out = s.frames_out
 
-        pending = collections.deque()   # (device array, frames_to_emit)
-        buf = bytearray()
-        pending_reset = False
-        src = self.source.blocks(n_in)
-        eos = False
+        gen_fn = self._gen_single if n_channels == 1 else self._gen_multi
+        reader = _Reader(gen_fn(block_bytes, bpf, skip_frames * bpf))
+        writer = _Writer(self.sinks, ch.fmt_out.items_per_frame,
+                         np.dtype(ch.out_wire_dtype).itemsize, s,
+                         self.pipeline_depth)
 
-        def flush_oldest():
-            dev, emit = pending.popleft()
-            host = np.asarray(jax.device_get(dev))[0]
-            payload = host[: emit * ch.fmt_out.items_per_frame].tobytes()
-            self.sink.write(payload)
-            s.frames_out += emit
-            s.bytes_out += len(payload)
-
-        def flush_pending():
-            while pending:
-                flush_oldest()
-
-        def process(chunk: bytes, valid_frames: int, reset: bool):
-            nonlocal carry
-            if len(chunk) < block_bytes:
-                chunk = chunk + b"\x00" * (block_bytes - len(chunk))
-            wire = np.frombuffer(chunk, dtype=ch.in_wire_dtype)[None, :]
+        def process(chunks: list[bytes], valid_frames: int, reset: bool):
+            nonlocal carry, scheduled_out
+            rows = []
+            for chunk in chunks:
+                if len(chunk) < block_bytes:
+                    chunk = chunk + b"\x00" * (block_bytes - len(chunk))
+                rows.append(np.frombuffer(chunk, dtype=ch.in_wire_dtype))
+            wire = np.stack(rows, axis=0)
             dev = jax.device_put(wire)
             carry, out = ch.step(carry, dev, np.bool_(reset))
             s.frames_in += valid_frames
             allowed = ch.expected_out_frames(s.frames_in)
-            emit = max(0, min(allowed - s.frames_out - _pending_frames(),
-                              ch.n_out))
-            pending.append((out, emit))
-            while len(pending) > self.pipeline_depth:
-                flush_oldest()
-
-        def _pending_frames():
-            return sum(e for _, e in pending)
-
-        skip_bytes = skip_frames * bpf
+            emit = max(0, min(allowed - scheduled_out, ch.n_out))
+            scheduled_out += emit
+            writer.put(out, emit)       # blocks when the pipe is full
 
         def maybe_checkpoint(now: float, last: float) -> float:
             if (self.checkpoint_path
@@ -170,58 +379,45 @@ class StreamEngine:
                 from iq_tool_tpu.pipeline.checkpoint import save_checkpoint
                 # flush first so (carry, frames_in, frames_out) is a
                 # consistent cut: everything consumed has been written
-                flush_pending()
-                save_checkpoint(self.checkpoint_path, carry,
-                                s.frames_in, s.frames_out)
+                writer.flush()
+                if not writer.dropped:
+                    save_checkpoint(self.checkpoint_path, carry,
+                                    s.frames_in, s.frames_out)
                 return now
             return last
-
         try:
-            while not eos:
-                block = next(src, None)
-                if block is None:
-                    eos = True
-                else:
-                    if block.discontinuity:
-                        # drain the pre-gap remainder as its own (padded)
-                        # short block FIRST — otherwise pre- and post-gap
-                        # samples would be spliced into one chunk and
-                        # resampled across the gap as if contiguous
-                        if buf:
-                            valid = len(buf) // bpf
-                            if valid:
-                                process(bytes(buf[:valid * bpf]), valid,
-                                        pending_reset)
-                            buf.clear()
-                        pending_reset = True
-                    payload = block.payload
-                    if skip_bytes:          # resume on a non-seekable source
-                        drop = min(skip_bytes, len(payload))
-                        payload = payload[drop:]
-                        skip_bytes -= drop
-                    buf.extend(payload)
-                while len(buf) >= block_bytes:
-                    chunk = bytes(buf[:block_bytes])
-                    del buf[:block_bytes]
-                    process(chunk, n_in, pending_reset)
-                    pending_reset = False
-                    now = time.monotonic()
-                    last_prog = self._progress_tick(s, t0, last_prog)
-                    last_ckpt = maybe_checkpoint(now, last_ckpt)
-                if eos and buf:
-                    valid = len(buf) // bpf
-                    process(bytes(buf), valid, pending_reset)
-                    buf.clear()
-            flush_pending()
-        except OutputClosed:
-            pending.clear()     # consumer is gone; nothing more to write
+            while True:
+                kind, payload, valid, reset = reader.get()
+                if kind == "eos":
+                    break
+                if kind == "err":
+                    raise payload
+                process(payload, valid, reset)
+                if writer.error is not None:
+                    raise writer.error
+                if writer.closed:
+                    break
+                now = time.monotonic()
+                last_prog = self._progress_tick(s, t0, last_prog)
+                last_ckpt = maybe_checkpoint(now, last_ckpt)
+            writer.flush()
         except KeyboardInterrupt:
             s.interrupted = True
             try:
-                flush_pending()
-            except OutputClosed:
-                pending.clear()
-        if self.checkpoint_path:
+                writer.flush()
+            except Exception:
+                pass
+        finally:
+            reader.stop()
+            writer.stop()
+        if writer.error is not None and not isinstance(writer.error,
+                                                       OutputClosed):
+            raise writer.error
+        # a closed consumer dropped computed-but-unflushed blocks, so
+        # (carry, frames_in) is AHEAD of frames_out — not a consistent
+        # cut.  Keep the last periodic checkpoint instead of saving one
+        # that would leave a gap on --resume.
+        if self.checkpoint_path and not writer.dropped:
             from iq_tool_tpu.pipeline.checkpoint import save_checkpoint
             save_checkpoint(self.checkpoint_path, carry,
                             s.frames_in, s.frames_out)

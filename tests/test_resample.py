@@ -118,6 +118,31 @@ def test_block_exactness(rng):
     assert y2.shape == (3, r.plan.n_out)
 
 
+def test_fallback_deep_decimation_alias_rejection():
+    """Large-prime fallback must scale the anti-alias semilength like
+    _MatmulStage does: ratio 2469/200000 reduces with prime 823 > stage max,
+    so the single _ArbStage handles ~81x decimation.  Unscaled semilength
+    gave only ~11 dB rejection (advisor round-1 high finding)."""
+    ratio = 2469.0 / 200000.0
+    r = resample.Resampler(ratio, target_block=16384)
+    assert r.plan.fallback
+    # out-of-band tone (0.05 cycles/in-sample is ~8x the output Nyquist of
+    # ratio/2 ~ 0.0062) must be attenuated to the design budget
+    state = r.init(1)
+    outs = []
+    for b in range(8):
+        t = np.arange(b * r.plan.n_in, (b + 1) * r.plan.n_in)
+        x = np.exp(2j * np.pi * 0.05 * t).astype(np.complex64)
+        y, state = r(x[None, :], state)
+        outs.append(np.asarray(y)[0])
+    y = np.concatenate(outs)
+    y = y[len(y) // 2:]
+    assert 10 * np.log10(np.mean(np.abs(y) ** 2) + 1e-30) < -50.0
+    # and an in-band tone passes with unity gain
+    snr, gain = _tone_snr(r, ratio * 0.1)
+    assert snr > 50.0 and abs(gain - 1.0) < 0.05, (snr, gain)
+
+
 def test_alias_rejection():
     """A tone beyond the output Nyquist must be strongly attenuated."""
     ratio = 0.5
