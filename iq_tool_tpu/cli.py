@@ -139,10 +139,23 @@ def build_parser() -> argparse.ArgumentParser:
 
     g = p.add_argument_group("Performance Options")
     g.add_argument("--block-size", type=int, default=C.DEFAULT_BLOCK_SIZE,
-                   metavar="N", help="Device block size in frames")
+                   metavar="N", help="Device block size in frames "
+                   "(per time shard when --mesh-time > 1)")
     g.add_argument("--pipeline-depth", type=int, default=C.PIPELINE_DEPTH,
                    metavar="N", help="Device steps kept in flight before a "
                    "readback (amortizes dispatch latency)")
+    g.add_argument("--channels", type=int, default=1, metavar="N",
+                   help="Process N independent streams as one batch. File "
+                        "paths then take a {ch} placeholder (in_{ch}.raw) "
+                        "or N comma-separated paths; channels run in "
+                        "lockstep and end at the shortest stream")
+    g.add_argument("--mesh-channel", type=int, metavar="N",
+                   help="Shard the channel axis over N devices "
+                        "(default: all devices on the time axis when "
+                        "--mesh-time is given, else single-device)")
+    g.add_argument("--mesh-time", type=int, metavar="N",
+                   help="Shard each block over N devices along time "
+                        "(halo-exchange sequence parallelism)")
     g.add_argument("--profile-dir", metavar="DIR",
                    help="Capture a jax.profiler trace of the run into DIR "
                         "(view with tensorboard/xprof)")
@@ -199,14 +212,43 @@ def config_from_args(args) -> AppConfig:
     return cfg
 
 
-def build_chain(cfg: AppConfig, block_size: int) -> Chain | None:
+def expand_channel_paths(path: str | None, n: int, what: str) -> list:
+    """N per-channel paths from a '{ch}' template or a comma-separated
+    list (the multi-stream CLI surface for BASELINE config #5)."""
+    if n == 1:
+        return [path]
+    if path is None:
+        raise ValueError(f"--channels {n} needs {n} {what} paths")
+    if "{ch}" in path:
+        return [path.replace("{ch}", str(c)) for c in range(n)]
+    parts = [s for s in path.split(",") if s]
+    if len(parts) != n:
+        raise ValueError(
+            f"--channels {n}: give a '{{ch}}' template or {n} "
+            f"comma-separated {what} paths (got {len(parts)})")
+    return parts
+
+
+def build_chain(cfg: AppConfig, block_size: int, channels: int = 1,
+                mesh_channel: int | None = None,
+                mesh_time: int | None = None) -> Chain | None:
     if cfg.raw_passthrough:
         return None
     shift = cfg.freq_shift_hz if cfg.freq_shift_hz is not None else cfg.nco_shift_hz
     pre = 0.0 if cfg.shift_after_resample else (shift or 0.0)
     post = (shift or 0.0) if cfg.shift_after_resample else 0.0
     agc_profile = (cfg.agc_profile or "local") if cfg.output_agc else None
-    return Chain(ChainConfig(
+    make = Chain
+    if mesh_channel or mesh_time:
+        import jax
+
+        from iq_tool_tpu.parallel.sharded import ShardedChain, make_mesh
+        mesh = make_mesh(jax.devices(), mesh_channel, mesh_time)
+
+        def make(ccfg):
+            return ShardedChain(ccfg, mesh)
+    return make(ChainConfig(
+        channels=channels,
         input_format=cfg.input_format,
         output_format=cfg.output_format,
         input_rate=cfg.input_rate,
@@ -324,31 +366,64 @@ def main(argv=None) -> int:
 
     watchdog = None
     try:
+        import dataclasses as _dc
+
         cfg = config_from_args(args)
-        source = get_input(cfg.input_type)
-        sink = get_output(cfg.output_type)
-        info = source.initialize(cfg, args)
+        n_ch = max(1, args.channels)
+        in_paths = expand_channel_paths(cfg.input_path, n_ch, "input")
+        out_paths = expand_channel_paths(cfg.output_path, n_ch, "output")
+        sources, sinks, infos = [], [], []
+        for c in range(n_ch):
+            src = get_input(cfg.input_type)
+            src_cfg = (cfg if n_ch == 1
+                       else _dc.replace(cfg, input_path=in_paths[c],
+                                        output_path=out_paths[c]))
+            infos.append(src.initialize(src_cfg, args))
+            sources.append(src)
+        source, info = sources[0], infos[0]
+        if n_ch > 1:
+            if source.is_realtime:
+                raise ValueError("--channels needs file/network sources")
+            for c, other in enumerate(infos[1:], 1):
+                if (other.sample_rate != info.sample_rate
+                        or other.sample_format != info.sample_format):
+                    raise ValueError(
+                        f"channel {c} ({in_paths[c]}) has rate/format "
+                        f"{other.sample_rate}/{other.sample_format}, "
+                        f"channel 0 has "
+                        f"{info.sample_rate}/{info.sample_format}; "
+                        "all channels must match")
         cfg.nco_shift_hz = info.nco_shift_hz
         resolve_rates(cfg, info.sample_rate, info.sample_format)
         validate(cfg)
-        chain = build_chain(cfg, args.block_size)
-        sink.initialize(cfg, args)
+        chain = build_chain(cfg, args.block_size, channels=n_ch,
+                            mesh_channel=args.mesh_channel,
+                            mesh_time=args.mesh_time)
+        for c in range(n_ch):
+            snk = get_output(cfg.output_type)
+            snk_cfg = (cfg if n_ch == 1
+                       else _dc.replace(cfg, input_path=in_paths[c],
+                                        output_path=out_paths[c]))
+            snk.initialize(snk_cfg, args)
+            sinks.append(snk)
+        sink = sinks[0]
 
         # pre-stream I/Q calibration for rewindable sources
         # (iq_correct.c:237-302)
         initial_carry = None
         if chain and cfg.iq_correction:
-            cal = source.calibration_frames(C.IQ_FFT_SIZE)
-            if cal is not None:
+            cals = [src.calibration_frames(C.IQ_FFT_SIZE) for src in sources]
+            if all(c is not None for c in cals):
                 import jax
                 import numpy as _np
 
                 from iq_tool_tpu.ops import convert, iq_balance
-                wire = _np.frombuffer(cal, chain.in_wire_dtype)[None, :]
+                wire = _np.stack([_np.frombuffer(c, chain.in_wire_dtype)
+                                  for c in cals], axis=0)
                 factors = jax.jit(lambda r: iq_balance.calibrate(
                     convert.to_cf32(r, chain.fmt_in, cfg.gain)))(wire)
                 log.info("pre-stream I/Q calibration complete")
-                initial_carry = chain.init_carry()
+                initial_carry = chain.init_carry(n_ch)
                 initial_carry["iq"] = initial_carry["iq"]._replace(
                     factors=factors)
 
@@ -374,7 +449,8 @@ def main(argv=None) -> int:
         if sink.requires_output_path:
             _print_summary_table("Configuration Summary", summary_items)
 
-        engine = StreamEngine(chain, source, sink,
+        engine = StreamEngine(chain, sources if n_ch > 1 else source,
+                              sinks if n_ch > 1 else sink,
                               raw_passthrough=cfg.raw_passthrough,
                               progress=_progress if sink.requires_output_path else None,
                               progress_total_frames=info.total_frames,
@@ -399,11 +475,13 @@ def main(argv=None) -> int:
             # hard-exit a process that is already unwinding
             if watchdog:
                 watchdog.stop()
-            try:
-                sink.finalize()
-            except Exception as fin_err:
-                log.warning("finalize failed: %s", fin_err)
-            source.close()
+            for snk in sinks:
+                try:
+                    snk.finalize()
+                except Exception as fin_err:
+                    log.warning("finalize failed: %s", fin_err)
+            for src in sources:
+                src.close()
         if sink.requires_output_path:
             print(file=sys.stderr)
             _print_summary_table("Final Summary", {

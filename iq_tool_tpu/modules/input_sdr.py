@@ -8,12 +8,12 @@ option-surface and behavioral parity with the reference
 * device-independent logic (rtlsdr 10x integer gain mapping, bladerf
   adaptive stream profiles and dynamic transfer sizing, rate bounds) is
   implemented and unit-tested;
-* rtlsdr (sync reads), hackrf (libusb-async RX callback) and bladerf
-  (sync RX with adaptive stream profiles + FPGA load) have real ctypes
-  driver paths used when the shared library is present (the reference
-  similarly dlopen()s vendor DLLs at runtime, input_sdrplay.c:57-167,
-  input_bladerf.c:79-143); sdrplay remains gated (its vendor service
-  API is struct-heavy and unverifiable without hardware).
+* rtlsdr (sync reads), hackrf (libusb-async RX callback), bladerf
+  (sync RX with adaptive stream profiles + FPGA load) and sdrplay
+  (API-service planar-short callbacks, modules/sdrplay_api.py binding)
+  all have real ctypes driver paths used when the shared library is
+  present (the reference similarly dlopen()s vendor DLLs at runtime,
+  input_sdrplay.c:57-167, input_bladerf.c:79-143).
 
 All hardware callbacks feed the same lossy RingBuffer + heartbeat pattern
 as the SpyServer client (SURVEY.md section 3.3).
@@ -96,6 +96,7 @@ class _SdrInputBase(InputModule):
         self._reset_pending = False
         self._dropped = 0
         self._dropped_warns = 0
+        self._rt_reset = False
         self._reader_thread: threading.Thread | None = None
 
     def _common_init(self, args) -> None:
@@ -133,12 +134,18 @@ class _SdrInputBase(InputModule):
 
     def _deliver_reset(self) -> None:
         """Stream discontinuity (e.g. sdrplay stream-reset events,
-        input_sdrplay.c:384-395).  Kept pending until it fits in the ring —
-        losing it would splice the gap."""
+        input_sdrplay.c:384-395).  Buffered mode frames it as an in-band
+        IQPK reset packet (exactly ordered); realtime mode sets a flag the
+        consumer applies to its NEXT block — ordering is then bounded by
+        the ring depth, matching the reference's realtime reset chunk that
+        also overtakes ring-buffered bytes.  Kept pending until it fits in
+        the ring — losing it would splice the gap."""
         if self._buffered:
             from iq_tool_tpu.io import packets
             if not packets.write_reset_event(self._ring, self._fmt.name):
                 self._reset_pending = True
+        else:
+            self._rt_reset = True
 
     # -- consumer side ----------------------------------------------------------
 
@@ -153,7 +160,10 @@ class _SdrInputBase(InputModule):
             buf = self._ring.read(want)
             if not buf:
                 return
-            yield Block(payload=buf[: len(buf) // bpf * bpf])
+            disc = self._rt_reset
+            self._rt_reset = False
+            yield Block(payload=buf[: len(buf) // bpf * bpf],
+                        discontinuity=disc)
             if len(buf) < want:
                 return
 
@@ -303,38 +313,26 @@ class RtlSdrInput(_SdrInputBase):
         return {"RTL-SDR Rate": f"{self._rate:.0f} Hz"}
 
 
-# ------------------------- driver-gated module stubs --------------------------
+# --------------------------------- sdrplay ------------------------------------
 
-class _DriverGated(_SdrInputBase):
-    driver_lib = "?"
+class SdrPlayInput(_SdrInputBase):
+    """SDRplay API service capture (input_sdrplay.c:169-890 behavior):
+    planar short xi/xq callbacks interleaved into the ring (realtime) or
+    written as planar IQPK packets (buffered, :470); stream-reset events
+    become discontinuities (:384-395); power-overload events are logged
+    and acknowledged (:491-509); per-family antenna/bias-T/HDR/LNA option
+    matrix (:633-750, helpers in modules/sdrplay_api.py)."""
 
-    def initialize(self, config, args) -> SourceInfo:
-        self._common_init(args)
-        libname = ctypes.util.find_library(self.driver_lib)
-        if not libname:
-            raise ValueError(
-                f"{self.name} input: lib{self.driver_lib} not found on this "
-                "host. TPU hosts have no radio hardware attached; use the "
-                "spyserver-client input to stream from a remote SDR.")
-        raise ValueError(
-            f"{self.name}: driver found but the hardware path is not wired "
-            "on TPU hosts yet; use spyserver-client")
-
-    def _start_hardware(self) -> None:  # pragma: no cover
-        raise NotImplementedError
-
-
-class SdrPlayInput(_DriverGated):
     name = "sdrplay"
     native_format = "cs16"                 # input_sdrplay.c:752
     default_rate = 2_000_000.0
-    driver_lib = "sdrplay_api"
 
     @classmethod
     def add_cli_options(cls, parser) -> None:
         g = parser.add_argument_group("SDRplay Options")
         g.add_argument("--sdrplay-device-idx", type=int, default=0)
         g.add_argument("--sdrplay-bandwidth", type=float, metavar="HZ",
+                       default=1_536_000.0,
                        help="Analog bandwidth in Hz (default 1.536e6)")
         g.add_argument("--sdrplay-lna-state", type=int, metavar="N",
                        help="LNA state, 0 = min gain (disables AGC)")
@@ -346,6 +344,308 @@ class SdrPlayInput(_DriverGated):
                        help="Enable HDR mode (RSPdx/RSPdxR2)")
         g.add_argument("--sdrplay-hdr-bw", type=float, metavar="HZ",
                        help="HDR mode bandwidth (requires --sdrplay-hdr-mode)")
+
+    def initialize(self, config, args) -> SourceInfo:
+        import numpy as np
+
+        from iq_tool_tpu.modules import sdrplay_api as sp
+        from iq_tool_tpu.utils.log import get_logger
+        log = get_logger(self.name)
+        self._np = np
+        self._sp = sp
+        self._common_init(args)
+        libname = (ctypes.util.find_library("sdrplay_api")
+                   or ctypes.util.find_library("sdrplay"))
+        if not libname:
+            raise ValueError(
+                "sdrplay input: libsdrplay_api not found on this host. TPU "
+                "hosts have no USB radio hardware; use the spyserver-client "
+                "input to stream from a remote SDR instead.")
+        lib = sp.bind(ctypes.CDLL(libname))
+        self._lib = lib
+        self._args = args
+        self._api_open = False
+        self._dev = None
+        self._inited = False
+
+        err = lib.sdrplay_api_Open()
+        if err != sp.SUCCESS:
+            raise ValueError(f"sdrplay_api_Open failed: {self._errstr(err)}")
+        self._api_open = True
+        try:
+            devs = (sp.DeviceT * sp.MAX_DEVICES)()
+            n = ctypes.c_uint(0)
+            err = lib.sdrplay_api_GetDevices(devs, ctypes.byref(n),
+                                             sp.MAX_DEVICES)
+            if err != sp.SUCCESS:
+                raise ValueError(
+                    f"sdrplay_api_GetDevices failed: {self._errstr(err)}")
+            idx = int(getattr(args, "sdrplay_device_idx", 0) or 0)
+            if n.value == 0:
+                raise ValueError("no SDRplay devices found")
+            if idx >= n.value:
+                raise ValueError(
+                    f"device index {idx} out of range (found {n.value})")
+            self._dev = sp.DeviceT()
+            ctypes.memmove(ctypes.byref(self._dev),
+                           ctypes.byref(devs[idx]),
+                           ctypes.sizeof(sp.DeviceT))
+            if self._dev.hwVer == sp.RSPduo:
+                # single-tuner mode on tuner A (input_sdrplay.c:692-695)
+                self._dev.rspDuoMode = sp.RSPDUO_MODE_SINGLE_TUNER
+                self._dev.tuner = sp.TUNER_A
+            err = lib.sdrplay_api_SelectDevice(ctypes.byref(self._dev))
+            if err != sp.SUCCESS:
+                self._dev = None
+                raise ValueError(
+                    f"sdrplay_api_SelectDevice failed: {self._errstr(err)}")
+            log.info("Using SDRplay device: %s (S/N: %s)",
+                     sp.device_name(self._dev.hwVer),
+                     self._dev.SerNo.decode(errors="replace"))
+            self._configure(args, sp, log)
+        except Exception:
+            self._teardown_api()
+            raise
+        return SourceInfo(sample_rate=self._rate, sample_format="cs16",
+                          total_frames=None)
+
+    def _errstr(self, err: int) -> str:
+        try:
+            s = self._lib.sdrplay_api_GetErrorString(err)
+            return s.decode() if s else str(err)
+        except Exception:
+            return str(err)
+
+    def _configure(self, args, sp, log) -> None:
+        """Program device params: rate/bw/freq + the per-family option
+        matrix (input_sdrplay.c:614-756)."""
+        lib = self._lib
+        params = ctypes.POINTER(sp.DeviceParamsT)()
+        err = lib.sdrplay_api_GetDeviceParams(self._dev.dev,
+                                              ctypes.byref(params))
+        if err != sp.SUCCESS or not params:
+            raise ValueError(
+                f"sdrplay_api_GetDeviceParams failed: {self._errstr(err)}")
+        dev_params = params.contents.devParams.contents
+        ch = params.contents.rxChannelA.contents
+        hw = self._dev.hwVer
+
+        bw_hz = float(getattr(args, "sdrplay_bandwidth", None) or 1_536_000.0)
+        bw_enum = sp.bw_hz_to_enum(bw_hz)
+        if bw_enum == sp.BW_UNDEFINED:
+            raise ValueError(
+                f"unsupported --sdrplay-bandwidth {bw_hz:.0f}; valid: "
+                "200e3 300e3 600e3 1.536e6 5e6 6e6 7e6 8e6")
+        dev_params.fsFreq.fsHz = float(self._rate)
+        ch.tunerParams.bwType = bw_enum
+        ch.tunerParams.ifType = sp.IF_ZERO
+        ch.tunerParams.rfFreq.rfHz = float(args.sdr_rf_freq)
+
+        hdr = bool(getattr(args, "sdrplay_hdr_mode", False))
+        if hdr:
+            if hw not in (sp.RSPdx, sp.RSPdxR2):
+                raise ValueError(
+                    "--sdrplay-hdr-mode is only supported on RSPdx and "
+                    "RSPdx-R2 devices")
+            dev_params.rspDxParams.hdrEnable = 1
+            hdr_bw = getattr(args, "sdrplay_hdr_bw", None)
+            if hdr_bw is not None:
+                enum = sp.hdr_bw_to_enum(float(hdr_bw))
+                if enum is None:
+                    raise ValueError(
+                        f"invalid --sdrplay-hdr-bw {hdr_bw}; valid: "
+                        "200e3 500e3 1.2e6 1.7e6")
+                ch.rspDxTunerParams.hdrBw = enum
+            else:
+                ch.rspDxTunerParams.hdrBw = sp.HDRMODE_BW_1_700
+
+        antenna = getattr(args, "sdrplay_antenna", None)
+        bias_t = bool(getattr(args, "sdr_bias_t", False))
+        hiz = False
+        handled_ant = handled_bias = False
+        if antenna or bias_t:
+            port = (antenna or "").upper()
+            if hw in (sp.RSP1A, sp.RSP1B):
+                if bias_t:
+                    ch.rsp1aTunerParams.biasTEnable = 1
+                    handled_bias = True
+            elif hw == sp.RSP2:
+                if bias_t:
+                    ch.rsp2TunerParams.biasTEnable = 1
+                    handled_bias = True
+                if antenna:
+                    if port == "A":
+                        ch.rsp2TunerParams.antennaSel = sp.RSP2_ANTENNA_A
+                    elif port == "B":
+                        ch.rsp2TunerParams.antennaSel = sp.RSP2_ANTENNA_B
+                    elif port == "HIZ":
+                        ch.rsp2TunerParams.amPortSel = sp.RSP2_AMPORT_2
+                        hiz = True
+                    else:
+                        raise ValueError(
+                            f"invalid antenna port '{antenna}' for RSP2; "
+                            "use A, B, or HIZ")
+                    handled_ant = True
+            elif hw == sp.RSPduo:
+                if bias_t:
+                    ch.rspDuoTunerParams.biasTEnable = 1
+                    handled_bias = True
+                if antenna:
+                    if port == "A":
+                        pass               # default port
+                    elif port == "HIZ":
+                        ch.rspDuoTunerParams.tuner1AmPortSel = \
+                            sp.RSPDUO_AMPORT_2
+                        hiz = True
+                    else:
+                        raise ValueError(
+                            f"invalid antenna port '{antenna}' for RSPduo; "
+                            "use A or HIZ")
+                    handled_ant = True
+            elif hw in (sp.RSPdx, sp.RSPdxR2):
+                if bias_t:
+                    dev_params.rspDxParams.biasTEnable = 1
+                    handled_bias = True
+                if antenna:
+                    sel = {"A": sp.RSPDX_ANTENNA_A, "B": sp.RSPDX_ANTENNA_B,
+                           "C": sp.RSPDX_ANTENNA_C}.get(port)
+                    if sel is None:
+                        raise ValueError(
+                            f"invalid antenna port '{antenna}' for "
+                            "RSPdx/RSPdx-R2; use A, B, or C")
+                    dev_params.rspDxParams.antennaSel = sel
+                    handled_ant = True
+        if antenna and not handled_ant:
+            log.warning("antenna selection not applicable for %s",
+                        sp.device_name(hw))
+        if bias_t and not handled_bias:
+            log.warning("Bias-T is not supported on %s", sp.device_name(hw))
+
+        lna = getattr(args, "sdrplay_lna_state", None)
+        if_gain = getattr(args, "sdrplay_if_gain", None)
+        if lna is not None or if_gain is not None:
+            ch.ctrlParams.agc.enable = sp.AGC_DISABLE
+            log.info("SDRplay: AGC disabled due to manual gain setting")
+        if if_gain is not None:
+            ch.tunerParams.gain.gRdB = -int(if_gain)
+        if lna is not None:
+            n_states = sp.num_lna_states(hw, float(args.sdr_rf_freq),
+                                         hdr, hiz)
+            if not (0 <= int(lna) < n_states):
+                raise ValueError(
+                    f"invalid LNA state {lna}; valid range for this "
+                    f"device/frequency is 0 (min gain) to {n_states - 1} "
+                    "(max gain)")
+            ch.tunerParams.gain.LNAstate = sp.lna_state_for_api(int(lna),
+                                                                n_states)
+
+    def _start_hardware(self) -> None:
+        sp = self._sp
+        np = self._np
+
+        def stream_cb(xi, xq, _params, num_samples, reset, _ctx):
+            if self._stop.is_set():
+                return
+            if reset:
+                from iq_tool_tpu.utils.log import get_logger
+                get_logger(self.name).info(
+                    "SDRplay stream reset detected; propagating "
+                    "discontinuity (input_sdrplay.c:384-395)")
+                self._deliver_reset()
+            if num_samples == 0:
+                return
+            n = int(num_samples)
+            i_arr = np.ctypeslib.as_array(xi, (n,))
+            q_arr = np.ctypeslib.as_array(xq, (n,))
+            if self._buffered:
+                # planar packet write (input_sdrplay.c:470 parity)
+                from iq_tool_tpu.io import packets
+                dropped = packets.write_planar_shorts(
+                    self._ring, i_arr, q_arr, self._fmt.name)
+                if dropped:
+                    self._dropped += dropped
+                import time as _t
+                self.heartbeat = _t.monotonic()
+            else:
+                inter = np.empty(2 * n, np.int16)
+                inter[0::2] = i_arr
+                inter[1::2] = q_arr
+                self._deliver(inter.tobytes())
+
+        def event_cb(event_id, tuner, params, _ctx):
+            from iq_tool_tpu.utils.log import get_logger
+            log = get_logger(self.name)
+            if event_id == sp.EVT_POWER_OVERLOAD:
+                state = params.contents.powerOverloadParams \
+                    .powerOverloadChangeType
+                if state == sp.OVERLOAD_DETECTED:
+                    log.warning("SDRplay: power overload detected — reduce "
+                                "gain (input_sdrplay.c:491-509)")
+                else:
+                    log.info("SDRplay: power overload corrected")
+                # acknowledge so the API keeps streaming
+                self._lib.sdrplay_api_Update(
+                    self._dev.dev, tuner, sp.UPDATE_CTRL_OVERLOAD_MSG_ACK,
+                    sp.UPDATE_EXT1_NONE)
+            elif event_id in (sp.EVT_DEVICE_REMOVED, sp.EVT_DEVICE_FAILURE):
+                log.error("SDRplay device removed/failed; ending stream")
+                self._ring.signal_end_of_stream()
+
+        # keep CFUNCTYPE objects alive for the stream's lifetime
+        self._stream_cb = sp.STREAM_CB(stream_cb)
+        self._event_cb = sp.EVENT_CB(event_cb)
+        self._cbfns = sp.CallbackFnsT(StreamACbFn=self._stream_cb,
+                                      StreamBCbFn=sp.STREAM_CB(),
+                                      EventCbFn=self._event_cb)
+        err = self._lib.sdrplay_api_Init(self._dev.dev,
+                                         ctypes.byref(self._cbfns), None)
+        if err not in (sp.SUCCESS, sp.STOP_PENDING):
+            raise ValueError(f"sdrplay_api_Init failed: {self._errstr(err)}")
+        self._inited = True
+        # bias-T on RSP1A/2/duo/dx additionally needs a post-Init Update
+        # (input_sdrplay.c:797-830)
+        if getattr(self._args, "sdr_bias_t", False):
+            hw = self._dev.hwVer
+            reason, ext1 = sp.UPDATE_NONE, sp.UPDATE_EXT1_NONE
+            if hw in (sp.RSP1A, sp.RSP1B):
+                reason = sp.UPDATE_RSP1A_BIAST
+            elif hw == sp.RSP2:
+                reason = sp.UPDATE_RSP2_BIAST
+            elif hw == sp.RSPduo:
+                reason = sp.UPDATE_RSPDUO_BIAST
+            elif hw in (sp.RSPdx, sp.RSPdxR2):
+                ext1 = sp.UPDATE_EXT1_RSPDX_BIAST
+            if reason != sp.UPDATE_NONE or ext1 != sp.UPDATE_EXT1_NONE:
+                self._lib.sdrplay_api_Update(self._dev.dev, self._dev.tuner,
+                                             reason, ext1)
+
+    def _teardown_api(self) -> None:
+        sp = getattr(self, "_sp", None)
+        if sp is None:
+            return
+        if self._dev is not None:
+            if self._inited:
+                self._lib.sdrplay_api_Uninit(self._dev.dev)
+                self._inited = False
+            self._lib.sdrplay_api_ReleaseDevice(ctypes.byref(self._dev))
+            self._dev = None
+        if self._api_open:
+            self._lib.sdrplay_api_Close()
+            self._api_open = False
+
+    def close(self) -> None:
+        super().close()
+        try:
+            self._teardown_api()
+        except Exception:
+            pass  # device teardown is best-effort on exit
+
+    def summary(self) -> dict:
+        sp = getattr(self, "_sp", None)
+        items = {"SDRplay Rate": f"{self._rate:.0f} Hz"}
+        if sp is not None and self._dev is not None:
+            items["SDRplay Device"] = sp.device_name(self._dev.hwVer)
+        return items
 
 
 class _HackRfTransfer(ctypes.Structure):

@@ -94,6 +94,20 @@ class ShardedChain:
         self.out_wire_dtype = self.local.out_wire_dtype
         self._jitted = None
 
+    # Chain-compatible surface so StreamEngine / the CLI can drive a
+    # ShardedChain interchangeably (fmt/resampler live on the local chain)
+    @property
+    def fmt_in(self):
+        return self.local.fmt_in
+
+    @property
+    def fmt_out(self):
+        return self.local.fmt_out
+
+    @property
+    def resampler(self):
+        return self.local.resampler
+
     # ------------------------------------------------------------------ carry
 
     def _carry_struct(self) -> dict:
@@ -123,7 +137,10 @@ class ShardedChain:
             leaves["agc"] = ("rep", agc_ops.init)
         return leaves
 
-    def init_carry(self):
+    def init_carry(self, channels: int | None = None):
+        if channels is not None and channels != self.cfg.channels:
+            raise ValueError(
+                f"carry channels {channels} != configured {self.cfg.channels}")
         struct = self._carry_struct()
         ch_global = self.cfg.channels
 
