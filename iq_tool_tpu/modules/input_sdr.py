@@ -78,6 +78,24 @@ def bladerf_needs_oversample(rate_hz: float) -> bool:
     return rate_hz > 61.44e6
 
 
+def bladerf_resolve_bit_depth(rate_hz: float,
+                              bit_depth_arg: int | None) -> tuple[int, bool]:
+    """(active_bits, auto_switched).  input_bladerf.c:251-275: rates above
+    61.44 MHz force 8-bit (12-bit request there is an error); otherwise
+    the user choice (default 12)."""
+    if bladerf_needs_oversample(rate_hz):
+        if bit_depth_arg == 12:
+            raise ValueError(
+                "the BladeRF does not support 12-bit mode for sample rates "
+                "above 61440000 Hz (input_bladerf.c:258-260)")
+        return 8, bit_depth_arg is None
+    if bit_depth_arg is None:
+        return 12, False
+    if bit_depth_arg not in (8, 12):
+        raise ValueError("--bladerf-bit-depth must be 8 or 12")
+    return bit_depth_arg, False
+
+
 # ------------------------------- base class ----------------------------------
 
 class _SdrInputBase(InputModule):
@@ -744,18 +762,27 @@ class HackRfInput(_SdrInputBase):
         return {"HackRF Rate": f"{self._rate:.0f} Hz"}
 
 
+class _BladeRfRationalRate(ctypes.Structure):
+    """struct bladerf_rational_rate (bladeRF.h): integer + num/den."""
+    _fields_ = [("integer", ctypes.c_uint64),
+                ("num", ctypes.c_uint64),
+                ("den", ctypes.c_uint64)]
+
+
 class BladeRfInput(_SdrInputBase):
     """Sync-RX capture via libbladeRF (input_bladerf.c: sync interface with
-    adaptive stream profiles by rate; FPGA load; sc16q11 or cs8)."""
+    adaptive stream profiles by rate; FPGA load; sc16q11 or cs8; >61.44 MHz
+    high-speed mode via oversample feature + rational rate + 8-bit)."""
 
     name = "bladerf"
     native_format = "sc16q11"              # input_bladerf.c:431
     default_rate = 2_000_000.0
 
     # libbladeRF enums (bladeRF.h): channel macro (ch << 1) | RX(0),
-    # formats SC16_Q11 = 0, SC8_Q7 = 2
+    # formats SC16_Q11 = 0, SC8_Q7 = 2; features DEFAULT = 0, OVERSAMPLE = 1
     _FMT_SC16_Q11 = 0
     _FMT_SC8_Q7 = 2
+    _FEATURE_OVERSAMPLE = 1
 
     @classmethod
     def add_cli_options(cls, parser) -> None:
@@ -769,9 +796,10 @@ class BladeRfInput(_SdrInputBase):
         g.add_argument("--bladerf-channel", type=int, choices=(0, 1), default=0,
                        help="BladeRF 2.0 RX channel (default 0)")
         g.add_argument("--bladerf-bit-depth", type=int, choices=(8, 12),
-                       default=12,
-                       help="Capture bit depth; 8-bit is BladeRF 2.0 only, "
-                            "auto-selected above 61.44 MHz")
+                       default=None,
+                       help="Capture bit depth (default 12); 8-bit is "
+                            "BladeRF 2.0 only, auto-selected above "
+                            "61.44 MHz")
 
     def initialize(self, config, args) -> SourceInfo:
         self._common_init(args)
@@ -784,12 +812,23 @@ class BladeRfInput(_SdrInputBase):
         lib = ctypes.CDLL(libname)
         self._lib = lib
         self._args = args
-        if bladerf_needs_oversample(self._rate):
+        from iq_tool_tpu.utils.log import get_logger
+        log = get_logger(self.name)
+        oversample = bladerf_needs_oversample(self._rate)
+        bits, auto8 = bladerf_resolve_bit_depth(
+            self._rate, getattr(args, "bladerf_bit_depth", None))
+        if auto8:
+            log.warning(
+                "sample rate %.0f Hz exceeds the 61.44 MHz limit for "
+                "12-bit mode; switching to 8-bit (input_bladerf.c:262-265)",
+                self._rate)
+        bw = getattr(args, "bladerf_bandwidth", None)
+        if oversample and bw:
             raise ValueError(
-                f"rates above 61.44 MHz need the oversample feature "
-                f"(input_bladerf.c:389-399), not wired here; got {self._rate}")
+                "--bladerf-bandwidth cannot be used in 8-bit high-speed "
+                "mode; the library sets the analog bandwidth automatically "
+                "(input_bladerf.c:277-280)")
         from iq_tool_tpu.formats import get_format
-        bits = int(getattr(args, "bladerf_bit_depth", 12) or 12)
         self._fmt = get_format("cs8" if bits == 8 else "sc16q11")
         dev = ctypes.c_void_p()
         if lib.bladerf_open(ctypes.byref(dev), None) != 0:
@@ -803,14 +842,39 @@ class BladeRfInput(_SdrInputBase):
         self._ch = ch
         lib.bladerf_set_frequency.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                               ctypes.c_uint64]
-        actual = ctypes.c_uint()
-        lib.bladerf_set_sample_rate(dev, ch, int(self._rate),
-                                    ctypes.byref(actual))
-        if actual.value:
-            self._rate = float(actual.value)
+        if oversample:
+            # BladeRF 2.0 high-speed path (input_bladerf.c:445-484):
+            # oversample feature + rational rate; bandwidth is automatic
+            if lib.bladerf_enable_feature(dev, self._FEATURE_OVERSAMPLE,
+                                          1) != 0:
+                raise ValueError(
+                    "failed to enable the BladeRF oversample feature "
+                    "(BladeRF 2.0 only)")
+            want = _BladeRfRationalRate(integer=0, num=int(self._rate),
+                                        den=1)
+            got = _BladeRfRationalRate()
+            lib.bladerf_set_rational_sample_rate.argtypes = [
+                ctypes.c_void_p, ctypes.c_int,
+                ctypes.POINTER(_BladeRfRationalRate),
+                ctypes.POINTER(_BladeRfRationalRate)]
+            if lib.bladerf_set_rational_sample_rate(
+                    dev, ch, ctypes.byref(want), ctypes.byref(got)) != 0:
+                raise ValueError("bladerf_set_rational_sample_rate failed")
+            if got.den == 0:
+                raise ValueError(
+                    "BladeRF returned an invalid rational sample rate "
+                    "(denominator is zero)")
+            self._rate = float(got.integer) + got.num / got.den
+            log.info("BladeRF high-speed: actual rate %.0f Hz, bandwidth "
+                     "set automatically by the library", self._rate)
+        else:
+            actual = ctypes.c_uint()
+            lib.bladerf_set_sample_rate(dev, ch, int(self._rate),
+                                        ctypes.byref(actual))
+            if actual.value:
+                self._rate = float(actual.value)
         lib.bladerf_set_frequency(dev, ch, int(args.sdr_rf_freq))
-        bw = getattr(args, "bladerf_bandwidth", None)
-        if bw:
+        if bw and not oversample:
             lib.bladerf_set_bandwidth(dev, ch, int(bw), None)
         gain = getattr(args, "bladerf_gain", None)
         if gain is not None:

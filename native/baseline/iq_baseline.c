@@ -1,0 +1,284 @@
+/* iq_baseline — honest multi-threaded CPU baseline for BASELINE config #1.
+ *
+ * The reference binary cannot be built in this image (liquid-dsp and
+ * libsndfile are absent and there is no network), so this standalone C
+ * program implements the SAME signal chain the reference runs for
+ * config #1 — cs16 -> DC block -> NCO shift -> polyphase rational
+ * resample 2.048e6 -> 1.488375e6 (Kaiser, 60 dB) -> 55-tap FIR low-pass
+ * -> cs16 — with the reference's build regime (-O3 -march=native
+ * -ffast-math, see /root/reference/CMakeLists.txt:721-742) and pthread
+ * data-parallelism standing in for its 5-8 stage threads.  It measures
+ * steady-state input samples/s; the repo's vs_baseline numbers divide by
+ * this.  DSP structure mirrors the contracts in SURVEY.md section 2b,
+ * not any liquid-dsp source.
+ *
+ * build: gcc -O3 -march=native -ffast-math -o iq_baseline iq_baseline.c -lm -lpthread
+ * usage: ./iq_baseline [n_frames] [n_threads] [seconds]
+ */
+
+#define _GNU_SOURCE
+#include <math.h>
+#include <pthread.h>
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <time.h>
+
+#define RATE_IN  2048000.0
+#define RATE_OUT 1488375.0
+#define P_UP     11907           /* 1488375/2048000 reduced */
+#define Q_DN     16384
+#define SEMILEN  16              /* matches ops/resample.py RESAMP_SEMILENGTH */
+#define K_TAPS   (2 * SEMILEN)
+#define ATTEN_DB 60.0
+#define FIR_TAPS 55              /* 400 kHz lowpass at the output rate */
+#define SHIFT_HZ (-100000.0)
+#define DC_CUT_HZ 10.0
+
+static double bessel_i0(double x) {
+    double s = 1.0, t = 1.0;
+    for (int k = 1; k < 64; k++) {
+        t *= (x / (2.0 * k)) * (x / (2.0 * k));
+        s += t;
+        if (t < 1e-18 * s) break;
+    }
+    return s;
+}
+
+static double kaiser_beta(double atten_db) {
+    if (atten_db > 50.0) return 0.1102 * (atten_db - 8.7);
+    if (atten_db >= 21.0)
+        return 0.5842 * pow(atten_db - 21.0, 0.4) + 0.07886 * (atten_db - 21.0);
+    return 0.0;
+}
+
+/* Kaiser-windowed sinc at real offset t (input-sample units) */
+static double kern(double t, double fc, double semilen, double beta) {
+    if (fabs(t) > semilen) return 0.0;
+    double warg = 1.0 - (t / semilen) * (t / semilen);
+    double w = bessel_i0(beta * sqrt(warg > 0 ? warg : 0)) / bessel_i0(beta);
+    double x = 2.0 * fc * t;
+    double g = (fabs(x) < 1e-12) ? 1.0 : sin(M_PI * x) / (M_PI * x);
+    return 2.0 * fc * g * w;
+}
+
+/* ---- exact per-phase polyphase table (P_UP fractional phases) ---------- */
+static float *phase_w;           /* [P_UP][K_TAPS] */
+
+static void build_phase_table(void) {
+    double beta = kaiser_beta(ATTEN_DB);
+    double fc = 0.5 * ((double)P_UP / Q_DN) * 0.92;
+    phase_w = malloc((size_t)P_UP * K_TAPS * sizeof(float));
+    for (int p = 0; p < P_UP; p++) {
+        /* output m looks up row ph = (m*Q) mod P, whose fractional delay
+         * is tau - floor(tau) = ph / P */
+        double frac = (double)p / P_UP;
+        double sum = 0.0;
+        double wrow[K_TAPS];
+        for (int k = 0; k < K_TAPS; k++) {
+            double t = frac + (SEMILEN - 1) - k;
+            wrow[k] = kern(t, fc, SEMILEN, beta);
+            sum += wrow[k];
+        }
+        for (int k = 0; k < K_TAPS; k++)
+            phase_w[(size_t)p * K_TAPS + k] = (float)(wrow[k] / sum);
+    }
+}
+
+static float fir_taps[FIR_TAPS];
+
+static void build_fir(void) {
+    double beta = kaiser_beta(ATTEN_DB);
+    double fc = 400000.0 / RATE_OUT;         /* normalized cutoff */
+    double sum = 0.0;
+    int m = FIR_TAPS / 2;
+    for (int k = 0; k < FIR_TAPS; k++) {
+        double t = k - m;
+        double warg = 1.0 - (t / (m + 1.0)) * (t / (m + 1.0));
+        double w = bessel_i0(beta * sqrt(warg > 0 ? warg : 0)) / bessel_i0(beta);
+        double x = 2.0 * fc * t;
+        double g = (fabs(x) < 1e-12) ? 1.0 : sin(M_PI * x) / (M_PI * x);
+        fir_taps[k] = (float)(2.0 * fc * g * w);
+        sum += fir_taps[k];
+    }
+    for (int k = 0; k < FIR_TAPS; k++) fir_taps[k] /= (float)sum;
+}
+
+/* ------------------------------- chain ---------------------------------- */
+
+typedef struct {
+    const float *xi, *xq;        /* resampler input (with K-1 history) */
+    float *yi, *yq;              /* resampler output */
+    long m0, m1;                 /* output span */
+} span_t;
+
+static void *resample_span(void *arg) {
+    span_t *s = arg;
+    for (long m = s->m0; m < s->m1; m++) {
+        /* tau = m*Q/P; window starts at floor(tau) - SEMILEN + 1 (+hist) */
+        long num = m * (long)Q_DN;
+        long nbase = num / P_UP;
+        int  ph = (int)(num % P_UP);
+        const float *w = &phase_w[(size_t)ph * K_TAPS];
+        const float *pi = s->xi + nbase;     /* history offset pre-applied */
+        const float *pq = s->xq + nbase;
+        float ai = 0.f, aq = 0.f;
+        for (int k = 0; k < K_TAPS; k++) {
+            ai += pi[k] * w[k];
+            aq += pq[k] * w[k];
+        }
+        s->yi[m] = ai;
+        s->yq[m] = aq;
+    }
+    return NULL;
+}
+
+typedef struct {
+    const float *xi, *xq;        /* FIR input (with FIR_TAPS-1 history) */
+    int16_t *out;                /* interleaved cs16 */
+    long m0, m1;
+} fspan_t;
+
+static void *fir_span(void *arg) {
+    fspan_t *s = arg;
+    for (long m = s->m0; m < s->m1; m++) {
+        const float *pi = s->xi + m;
+        const float *pq = s->xq + m;
+        float ai = 0.f, aq = 0.f;
+        for (int k = 0; k < FIR_TAPS; k++) {
+            ai += pi[k] * fir_taps[k];
+            aq += pq[k] * fir_taps[k];
+        }
+        /* round-half-away + clamp (sample_convert.c contract) */
+        float si = ai * 32768.0f, sq = aq * 32768.0f;
+        si = si >= 0 ? si + 0.5f : si - 0.5f;
+        sq = sq >= 0 ? sq + 0.5f : sq - 0.5f;
+        if (si > 32767.f) si = 32767.f;
+        if (si < -32768.f) si = -32768.f;
+        if (sq > 32767.f) sq = 32767.f;
+        if (sq < -32768.f) sq = -32768.f;
+        s->out[2 * m] = (int16_t)si;
+        s->out[2 * m + 1] = (int16_t)sq;
+    }
+    return NULL;
+}
+
+static double now_sec(void) {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + 1e-9 * ts.tv_nsec;
+}
+
+int main(int argc, char **argv) {
+    long n = argc > 1 ? atol(argv[1]) : 1 << 21;
+    int nthreads = argc > 2 ? atoi(argv[2]) : 4;
+    double run_for = argc > 3 ? atof(argv[3]) : 5.0;
+    long m_out = n * (long)P_UP / Q_DN;
+
+    build_phase_table();
+    build_fir();
+
+    /* 4th arg "tone:<hz>:<outfile>" switches to a quality-check run: feed a
+     * complex tone, write one pass of cs16 output for SNR verification */
+    const char *tone_spec = argc > 4 ? argv[4] : NULL;
+    double tone_hz = 0.0;
+    const char *tone_out = NULL;
+    char tone_buf[256];
+    if (tone_spec && strncmp(tone_spec, "tone:", 5) == 0) {
+        strncpy(tone_buf, tone_spec + 5, sizeof(tone_buf) - 1);
+        tone_buf[sizeof(tone_buf) - 1] = 0;
+        char *colon = strchr(tone_buf, ':');
+        if (colon) { *colon = 0; tone_out = colon + 1; }
+        tone_hz = atof(tone_buf);
+    }
+
+    int16_t *raw = malloc((size_t)n * 2 * sizeof(int16_t));
+    if (tone_out) {
+        for (long i = 0; i < n; i++) {
+            double ph = 2.0 * M_PI * tone_hz * i / RATE_IN;
+            raw[2 * i] = (int16_t)lround(0.5 * 32767.0 * cos(ph));
+            raw[2 * i + 1] = (int16_t)lround(0.5 * 32767.0 * sin(ph));
+        }
+        run_for = 0.0;                       /* single pass */
+    } else {
+        srand(12345);
+        for (long i = 0; i < 2 * n; i++)
+            raw[i] = (int16_t)((rand() % 16384) - 8192);
+    }
+
+    float *xi = calloc(n + K_TAPS, sizeof(float));
+    float *xq = calloc(n + K_TAPS, sizeof(float));
+    float *yi = calloc(m_out + FIR_TAPS, sizeof(float));
+    float *yq = calloc(m_out + FIR_TAPS, sizeof(float));
+    int16_t *out = malloc((size_t)m_out * 2 * sizeof(int16_t));
+    pthread_t th[64];
+    span_t sp[64];
+    fspan_t fs[64];
+    if (nthreads > 64) nthreads = 64;
+
+    double alpha = 2.0 * M_PI * DC_CUT_HZ / RATE_IN;
+    float a = (float)(1.0 - alpha);
+    double dphi = 2.0 * M_PI * SHIFT_HZ / RATE_IN;
+    float cs = (float)cos(dphi), sn = (float)sin(dphi);
+
+    long reps = 0;
+    double t0 = now_sec(), t1;
+    do {
+        /* convert + DC block + NCO shift: sequential recurrences, one pass
+         * (pre_processor.c chain order) */
+        float di = 0.f, dq = 0.f, pi_ = 0.f, pq_ = 0.f;
+        float oi = 1.f, oq = 0.f;        /* NCO phasor */
+        float *vi = xi + K_TAPS - 1, *vq = xq + K_TAPS - 1;
+        for (long i = 0; i < n; i++) {
+            float ci = raw[2 * i] * (1.0f / 32768.0f);
+            float cq = raw[2 * i + 1] * (1.0f / 32768.0f);
+            /* DC IIR y = x - x1 + a*y1 */
+            float wi = ci - pi_ + a * di;
+            float wq = cq - pq_ + a * dq;
+            pi_ = ci; pq_ = cq; di = wi; dq = wq;
+            /* mix */
+            vi[i] = wi * oi - wq * oq;
+            vq[i] = wi * oq + wq * oi;
+            float noi = oi * cs - oq * sn;
+            oq = oi * sn + oq * cs;
+            oi = noi;
+            if ((i & 1023) == 1023) {            /* renormalize phasor */
+                float r = 1.0f / sqrtf(oi * oi + oq * oq);
+                oi *= r; oq *= r;
+            }
+        }
+        /* polyphase resample, data-parallel over output spans */
+        for (int t = 0; t < nthreads; t++) {
+            sp[t] = (span_t){xi, xq, yi + FIR_TAPS - 1, yq + FIR_TAPS - 1,
+                             m_out * t / nthreads, m_out * (t + 1) / nthreads};
+            pthread_create(&th[t], NULL, resample_span, &sp[t]);
+        }
+        for (int t = 0; t < nthreads; t++) pthread_join(th[t], NULL);
+        /* FIR low-pass + cs16 quantize, data-parallel */
+        for (int t = 0; t < nthreads; t++) {
+            fs[t] = (fspan_t){yi, yq, out,
+                              m_out * t / nthreads, m_out * (t + 1) / nthreads};
+            pthread_create(&th[t], NULL, fir_span, &fs[t]);
+        }
+        for (int t = 0; t < nthreads; t++) pthread_join(th[t], NULL);
+        reps++;
+        t1 = now_sec();
+    } while (t1 - t0 < run_for);
+
+    if (tone_out) {
+        FILE *f = fopen(tone_out, "wb");
+        fwrite(out, sizeof(int16_t), (size_t)m_out * 2, f);
+        fclose(f);
+    }
+    double msps = (double)n * reps / (t1 - t0) / 1e6;
+    /* checksum defeats dead-code elimination */
+    long chk = 0;
+    for (long i = 0; i < 2 * m_out; i += 997) chk += out[i];
+    fprintf(stderr, "chk=%ld reps=%ld\n", chk, reps);
+    printf("{\"metric\": \"cpu_baseline_msps\", \"value\": %.3f, "
+           "\"unit\": \"Msamples/s in\", \"threads\": %d, "
+           "\"frames\": %ld, \"chain\": \"cs16 dc+shift+resample(11907/16384)+lowpass55+cs16\"}\n",
+           msps, nthreads, n);
+    return 0;
+}

@@ -432,3 +432,78 @@ def test_bladerf_mock_driver(monkeypatch):
     assert len(got) >= 1024
     mod.close()
     assert "bladerf_close" in calls
+
+
+def test_bladerf_oversample_mode(monkeypatch):
+    """>61.44 MHz: oversample feature + rational rate + auto 8-bit
+    (input_bladerf.c:251-275, 445-484)."""
+    import ctypes
+    import ctypes.util
+
+    from iq_tool_tpu.modules.input_sdr import (BladeRfInput,
+                                               _BladeRfRationalRate,
+                                               bladerf_resolve_bit_depth)
+
+    # pure bit-depth resolution matrix
+    assert bladerf_resolve_bit_depth(122.88e6, None) == (8, True)
+    assert bladerf_resolve_bit_depth(122.88e6, 8) == (8, False)
+    assert bladerf_resolve_bit_depth(2e6, None) == (12, False)
+    assert bladerf_resolve_bit_depth(2e6, 8) == (8, False)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="12-bit"):
+        bladerf_resolve_bit_depth(122.88e6, 12)
+
+    calls = []
+
+    class FakeLib:
+        def __getattr__(self, name):
+            def fn(*a):
+                calls.append(name)
+                if name == "bladerf_open":
+                    a[0]._obj.value = 99
+                    return 0
+                if name == "bladerf_set_rational_sample_rate":
+                    got = a[3]._obj
+                    want = a[2]._obj
+                    got.integer = want.num - 5     # "actual" differs a bit
+                    got.num = 0
+                    got.den = 1
+                    return 0
+                return 0
+            return fn
+
+    monkeypatch.setattr(ctypes.util, "find_library", lambda n: "fake_bladerf")
+    monkeypatch.setattr(ctypes, "CDLL", lambda path: FakeLib())
+
+    class Args:
+        sdr_rf_freq = 2.4e9
+        sdr_sample_rate = 122_880_000.0
+        bladerf_bit_depth = None
+
+        def __getattr__(self, _):
+            return None
+
+    mod = BladeRfInput()
+    info = mod.initialize(None, Args())
+    assert info.sample_format == "cs8"             # auto 8-bit
+    assert info.sample_rate == 122_880_000.0 - 5   # actual from the device
+    assert "bladerf_enable_feature" in calls
+    assert "bladerf_set_rational_sample_rate" in calls
+    assert "bladerf_set_sample_rate" not in calls
+    assert "bladerf_set_bandwidth" not in calls    # automatic in this mode
+    mod.close()
+
+    # 12-bit request above the limit is rejected before opening hardware
+    class Bad12(Args):
+        bladerf_bit_depth = 12
+
+    import pytest
+    with pytest.raises(ValueError, match="12-bit"):
+        BladeRfInput().initialize(None, Bad12())
+
+    # bandwidth + high-speed mode is rejected
+    class BadBw(Args):
+        bladerf_bandwidth = 10e6
+
+    with pytest.raises(ValueError, match="bandwidth"):
+        BladeRfInput().initialize(None, BadBw())
