@@ -160,6 +160,12 @@ class SpyServerInput(InputModule):
         if sync[0] == 0:
             raise ValueError("cannot control the remote device "
                              "(another client has control)")
+        # full ClientSync decode (input_spyserver_client.c:154-164): gain,
+        # device/IQ center frequencies and the tunable IQ range — kept for
+        # the configuration summary and range checks
+        (self._can_control, self._sync_gain, self._dev_center_hz,
+         self._iq_center_hz, _fft_center, self._iq_min_hz,
+         self._iq_max_hz, _fft_min, _fft_max) = sync
 
         # format negotiation: server may force one
         final_fmt = req_fmt
@@ -260,6 +266,12 @@ class SpyServerInput(InputModule):
             out["Device Type"] = {1: "Airspy One", 2: "Airspy HF",
                                   3: "RTL-SDR"}.get(self._device_info[0],
                                                     "unknown")
+        if getattr(self, "_dev_center_hz", None) is not None:
+            out["Device Center"] = f"{self._dev_center_hz / 1e6:.6f} MHz"
+            out["IQ Center"] = f"{self._iq_center_hz / 1e6:.6f} MHz"
+            out["IQ Tunable Range"] = (f"{self._iq_min_hz / 1e6:.3f}-"
+                                       f"{self._iq_max_hz / 1e6:.3f} MHz")
+            out["Server Gain"] = str(self._sync_gain)
         return out
 
     def close(self) -> None:

@@ -43,6 +43,12 @@ from iq_tool_tpu.ops import convert, iq_balance, nco
 from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
 
 
+# Tests set this to run the fused Pallas pre-stage in interpret mode on
+# CPU (the real-Mosaic path needs TPU hardware; tools/tpu_smoke.py covers
+# it there).
+_FUSED_INTERPRET = False
+
+
 def make_mesh(devices=None, channel_shards: int | None = None,
               time_shards: int | None = None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
@@ -247,6 +253,94 @@ class ShardedChain:
             samples_seen=state.samples_seen + jnp.uint32(n * self.t))
         return yr, yi, new_state
 
+    def _fused_pre_sharded(self, xr, xi, x_prev_use, carry: dict, new: dict,
+                           t_idx):
+        """DC + IQ-apply + pre-NCO as the single fused Pallas kernel, on
+        the sharded path.  The DC start value for shard i depends on the
+        other shards' data THIS step, so the kernel runs the exact
+        recurrence from a ZERO y-state (with the halo'd x_prev) and the
+        missing start contribution start_i * a^(k+1) — which rides through
+        the IQ apply and NCO rotation LINEARLY — is added afterwards as
+        one fused XLA elementwise pass.  Returns (xr, xi) or None to fall
+        back to the separate XLA ops (CPU, odd geometry)."""
+        from iq_tool_tpu.ops import banded, dc_block, pallas_kernels
+        lc = self.local
+        cfg = lc.cfg
+        if not (banded._on_tpu() or _FUSED_INTERPRET):
+            return None
+        n = xr.shape[-1]
+        a_real = 1.0 - lc.dc_alpha
+        apow = np.power(a_real, np.arange(1, n + 1),
+                        dtype=np.float64).astype(np.float32)
+        a_l = jnp.float32(a_real ** n)
+
+        iqf = None
+        if cfg.iq_correction:
+            # shard 0's first IQ_FFT_SIZE DC'd samples: shard 0's start IS
+            # its carry, so the estimator segment is computable before the
+            # kernel runs (masked psum broadcasts it to every shard)
+            nf = C.IQ_FFT_SIZE
+            seg_r, _, _ = dc_block._apply_plane(
+                xr[:, :nf], x_prev_use[:, 0], carry["dc_y"][:, 0],
+                lc.dc_alpha)
+            seg_i, _, _ = dc_block._apply_plane(
+                xi[:, :nf], x_prev_use[:, 1], carry["dc_y"][:, 1],
+                lc.dc_alpha)
+            seg = jnp.concatenate([seg_r, seg_i], axis=-1)
+            seg0 = jnp.where(t_idx == 0, seg, jnp.zeros_like(seg))
+            seg_b = jax.lax.psum(seg0, "time")
+            new["iq"] = iq_balance.maybe_update_planar(
+                seg_b[:, :nf], seg_b[:, nf:], carry["iq"], lc.iq_interval,
+                advance_samples=self.t * n)
+            iqf = new["iq"].factors
+
+        dth = int(lc.dtheta_pre)
+        phase = None
+        if dth:
+            phase = (carry["nco_pre"]
+                     + t_idx.astype(jnp.uint32) * jnp.uint32(n)
+                     * jnp.uint32(dth))
+        st4 = jnp.stack([x_prev_use[:, 0], x_prev_use[:, 1],
+                         jnp.zeros_like(x_prev_use[:, 0]),
+                         jnp.zeros_like(x_prev_use[:, 1])], axis=-1)
+        res = pallas_kernels.dc_block_apply(
+            xr, xi, st4, lc.dc_alpha, iqf,
+            phase[:, None] if phase is not None else None, dth,
+            interpret=_FUSED_INTERPRET)
+        if res is None:
+            if cfg.iq_correction:
+                del new["iq"]     # recomputed by the fallback path
+            return None
+        yr, yi, st4n = res
+        # exact cross-shard prefix: compose zero-start shard ends into the
+        # true per-shard start values (first-order linear recurrence)
+        ends_r = jax.lax.all_gather(st4n[:, 2], "time")      # (T, C)
+        ends_i = jax.lax.all_gather(st4n[:, 3], "time")
+        starts_r = [carry["dc_y"][:, 0]]
+        starts_i = [carry["dc_y"][:, 1]]
+        for j in range(1, self.t):
+            starts_r.append(ends_r[j - 1] + a_l * starts_r[j - 1])
+            starts_i.append(ends_i[j - 1] + a_l * starts_i[j - 1])
+        sr_arr = jnp.stack(starts_r)
+        si_arr = jnp.stack(starts_i)
+        start_r = sr_arr[t_idx]
+        start_i = si_arr[t_idx]
+        # the omitted DC term rides linearly through IQ and the rotation
+        dr = start_r[:, None] * apow[None, :]
+        di = start_i[:, None] * apow[None, :]
+        if iqf is not None:
+            dr, di = iq_balance.apply_planar(dr, di, iqf)
+        if dth:
+            dr, di, _ = nco.apply_planar(dr, di, phase, lc.dtheta_pre)
+            new["nco_pre"] = (carry["nco_pre"]
+                              + jnp.uint32(self.t * n) * jnp.uint32(dth))
+        yr = yr + dr
+        yi = yi + di
+        new["dc_y"] = jnp.stack(
+            [ends_r[self.t - 1] + a_l * sr_arr[self.t - 1],
+             ends_i[self.t - 1] + a_l * si_arr[self.t - 1]], axis=-1)
+        return yr, yi
+
     def _local_step(self, carry: dict, raw: jnp.ndarray, reset: jnp.ndarray):
         """Runs per time/channel shard inside shard_map.
 
@@ -277,15 +371,20 @@ class ShardedChain:
         new = dict(carry)
         xr, xi = convert.to_planar(raw, lc.fmt_in, cfg.gain)
 
+        fused = None
         if cfg.dc_block:
             use, new["dc_x"] = self._halo(tail2(xr, xi, 1), carry["dc_x"])
-            yr, cyr = self._dc_sharded_plane(xr, use[:, 0:1],
-                                             carry["dc_y"][:, 0], lc.dc_alpha)
-            yi, cyi = self._dc_sharded_plane(xi, use[:, 1:2],
-                                             carry["dc_y"][:, 1], lc.dc_alpha)
-            xr, xi = yr, yi
-            new["dc_y"] = jnp.stack([cyr, cyi], axis=-1)
-        if cfg.iq_correction:
+            fused = self._fused_pre_sharded(xr, xi, use, carry, new, t_idx)
+            if fused is not None:
+                xr, xi = fused
+            else:
+                yr, cyr = self._dc_sharded_plane(
+                    xr, use[:, 0:1], carry["dc_y"][:, 0], lc.dc_alpha)
+                yi, cyi = self._dc_sharded_plane(
+                    xi, use[:, 1:2], carry["dc_y"][:, 1], lc.dc_alpha)
+                xr, xi = yr, yi
+                new["dc_y"] = jnp.stack([cyr, cyi], axis=-1)
+        if fused is None and cfg.iq_correction:
             # broadcast shard 0's leading 1024 samples (masked psum)
             nf = C.IQ_FFT_SIZE
             seg = jnp.concatenate([xr[:, :nf], xi[:, :nf]], axis=-1)
@@ -295,7 +394,7 @@ class ShardedChain:
                 seg_b[:, :nf], seg_b[:, nf:], carry["iq"], lc.iq_interval,
                 advance_samples=self.t * n_sub)
             xr, xi = iq_balance.apply_planar(xr, xi, new["iq"].factors)
-        if int(lc.dtheta_pre) != 0:
+        if fused is None and int(lc.dtheta_pre) != 0:
             phase = (carry["nco_pre"]
                      + t_idx.astype(jnp.uint32) * jnp.uint32(n_sub)
                      * lc.dtheta_pre)

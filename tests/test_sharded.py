@@ -166,6 +166,42 @@ def test_sharded_without_dc_is_exact(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_sharded_fused_pre_stage_interpret(rng, monkeypatch):
+    """The fused Pallas pre-stage on the sharded path (zero-start kernel
+    + linear prefix correction), in interpret mode on the CPU mesh,
+    against the plain single-device chain.  Real-Mosaic execution of the
+    same path is covered on hardware by tools/tpu_smoke.py."""
+    from iq_tool_tpu.parallel import sharded as sharded_mod
+    monkeypatch.setattr(sharded_mod, "_FUSED_INTERPRET", True)
+    mesh = make_mesh(jax.devices()[:4], channel_shards=1, time_shards=4)
+    cfg = ChainConfig(input_format="cs16", output_format="cs16",
+                      input_rate=2_048_000.0, target_rate=1_488_375.0,
+                      dc_block=True, iq_correction=True,
+                      freq_shift_pre_hz=150_000.0,
+                      filters=[FilterRequest("lowpass", 400_000.0)],
+                      target_block=2048)
+    sc = ShardedChain(cfg, mesh)
+    single = Chain(ChainConfig(**{**cfg.__dict__,
+                                  "target_block": sc.local.cfg.target_block}))
+    raws = _make_raws(2, sc.n_in, rng)
+    got = _run_blocks(sc.step, sc.init_carry(), raws)
+    carry = single.init_carry()
+    outs = []
+    for raw in raws:
+        for j in range(4):
+            sub = raw[:, j * single.n_in * 2:(j + 1) * single.n_in * 2]
+            carry, out = single.step(carry, sub, np.False_)
+            outs.append(np.asarray(jax.device_get(out)))
+    want = np.concatenate(outs, axis=-1)
+    diff = got.astype(np.float64) - want.astype(np.float64)
+    snr = 10 * np.log10((want.astype(np.float64) ** 2).mean()
+                        / ((diff ** 2).mean() + 1e-30))
+    # fused kernel (bf16x3 NCO/IQ postamble) vs the XLA f32 path: small
+    # per-sample deviations, bounded codes, chain-contract SNR kept
+    assert snr > 60.0, snr
+    assert np.abs(diff).max() <= 32, np.abs(diff).max()
+
+
 def test_sharded_dc_matches_exact_recurrence(rng):
     """The sharded DC blocker against the scalar double-precision oracle."""
     from iq_tool_tpu.ops import dc_block

@@ -45,12 +45,23 @@ def tone_file(path: str, n: int, fmt: str = "cs16", f_hz: float = 100e3) -> None
 
 
 def out_snr(path: str, fmt: str, rate: float, skip: int = 20000):
-    import jax
+    """(peak_hz, snr_db); (nan, -inf) if analysis itself fails — a check
+    then FAILs with a message instead of crashing the whole suite (a
+    poisoned device client after an earlier failure must not stop the
+    remaining checks)."""
+    try:
+        return _out_snr(path, fmt, rate, skip)
+    except Exception as e:
+        check("out_snr analysis", False, str(e)[:150])
+        return float("nan"), float("-inf")
 
+
+def _out_snr(path: str, fmt: str, rate: float, skip: int):
     from iq_tool_tpu.ops import convert
+    from tests import ref_dsp
     raw = np.fromfile(path, convert.wire_dtype(fmt))
-    zr, zi = jax.jit(lambda v: convert.to_planar(v, fmt))(raw[None])
-    z = (np.asarray(zr)[0] + 1j * np.asarray(zi)[0])[skip:-4096 or None]
+    # pure-numpy oracle conversion: independent of the device under test
+    z = ref_dsp.to_cf32(raw, fmt)[skip:-4096 or None]
     w = np.hanning(len(z))
     p = np.abs(np.fft.fftshift(np.fft.fft(z * w))) ** 2
     f = np.fft.fftshift(np.fft.fftfreq(len(z), 1 / rate))
@@ -101,6 +112,45 @@ def main() -> int:
     else:
         check("flagship chain (dc+shift+resample+lowpass)", False,
               f"cli rc={rc}")
+
+    # sharded step on the real chip (1-device mesh): exercises the FUSED
+    # Pallas pre-stage on the sharded path (zero-start kernel + linear
+    # prefix correction) against the plain chain
+    try:
+        from iq_tool_tpu.ops.fir_design import FilterRequest
+        from iq_tool_tpu.parallel.sharded import ShardedChain, make_mesh
+        from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+        cfg = ChainConfig(
+            input_format="cs16", output_format="cs16",
+            input_rate=RATE_IN, target_rate=RATE_OUT,
+            dc_block=True, iq_correction=True,
+            freq_shift_pre_hz=100e3,
+            filters=(FilterRequest("lowpass", 400e3),),
+            target_block=16384)
+        mesh = make_mesh(jax.devices()[:1], 1, 1)
+        sc = ShardedChain(cfg, mesh)
+        plain = Chain(ChainConfig(**{**cfg.__dict__,
+                                     "target_block": sc.local.cfg
+                                     .target_block}))
+        rng = np.random.default_rng(3)
+        raws = [rng.integers(-2 ** 14, 2 ** 14, (1, sc.n_in * 2))
+                .astype(np.int16) for _ in range(2)]
+        ca, cb = sc.init_carry(), plain.init_carry(1)
+        outs_a, outs_b = [], []
+        for r in raws:
+            ca, oa = sc.step(ca, r, np.bool_(False))
+            cb, ob = plain.step(cb, r, np.bool_(False))
+            outs_a.append(np.asarray(jax.device_get(oa)))
+            outs_b.append(np.asarray(jax.device_get(ob)))
+        a = np.concatenate(outs_a, -1).astype(np.float64)
+        b = np.concatenate(outs_b, -1).astype(np.float64)
+        d = np.abs(a - b)
+        snr = 10 * np.log10((b ** 2).mean() / ((d ** 2).mean() + 1e-30))
+        check("sharded fused pre-stage == plain chain",
+              bool(snr > 70 and d.max() <= 4),
+              f"snr {snr:.1f} dB maxdiff {d.max():.0f} codes")
+    except Exception as e:
+        check("sharded fused pre-stage == plain chain", False, str(e)[:200])
 
     # config #4: iq + pass-range + notch + AGC (exercises the FFT filter
     # path and the complex-tap machinery — this caught the DEFAULT-
