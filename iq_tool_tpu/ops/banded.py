@@ -90,9 +90,25 @@ def largest_divisor_leq(n: int, cap: int) -> int:
 
 # ------------------------------ dispatcher ------------------------------------
 
+_kernels_enabled = True
+
+
+def set_kernels_enabled(enabled: bool) -> None:
+    """Global kill-switch for the Mosaic kernels: every dispatch site
+    (banded, chain fused pre-stage, sharded fused pre-stage) gates on
+    _on_tpu(), so disabling routes everything through the pure-XLA path.
+    Used when a backend rejects Mosaic custom calls in a context (e.g.
+    inside manually partitioned computations) — the chain still runs,
+    just without the fused kernels."""
+    global _kernels_enabled
+    _kernels_enabled = enabled
+
+
 def _on_tpu() -> bool:
     """Gate for the Mosaic (TPU-only) kernels — other accelerators must
     take the XLA path, not crash at pallas lowering."""
+    if not _kernels_enabled:
+        return False
     try:
         return jax.default_backend() == "tpu"
     except Exception:

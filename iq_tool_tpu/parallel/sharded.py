@@ -119,10 +119,11 @@ class ShardedChain:
     def _carry_struct(self) -> dict:
         """Leaf name -> ('halo', H) for tail leaves or ('rep', make_fn(ch))."""
         lc = self.local
-        leaves: dict = {
-            "nco_pre": ("rep", nco.init),
-            "nco_post": ("rep", nco.init),
-        }
+        leaves: dict = {}
+        if int(lc.dtheta_pre) != 0:
+            leaves["nco_pre"] = ("rep", nco.init)
+        if int(lc.dtheta_post) != 0:
+            leaves["nco_post"] = ("rep", nco.init)
         # halo leaves are PLANAR: width 2H = real tail ++ imag tail, so one
         # ppermute still moves a stage's whole state
         if lc.cfg.dc_block:
@@ -348,7 +349,19 @@ class ShardedChain:
         (C_local, H) slices of the (C, T*H) global arrays."""
         lc = self.local
         cfg = lc.cfg
-        t_idx = jax.lax.axis_index("time")
+        # Lazy: a traced-but-unused axis_index is the ONE jaxpr difference
+        # that makes the axon backend reject the whole compiled sharded
+        # program (UNIMPLEMENTED) for configs that never consume it —
+        # verified by line-diffing jaxprs of a passing hand-inlined
+        # reconstruction vs this step.  Only materialize it when a stage
+        # actually needs the shard index.
+        _t_idx_cache = []
+
+        def t_idx():
+            if not _t_idx_cache:
+                _t_idx_cache.append(jax.lax.axis_index("time"))
+            return _t_idx_cache[0]
+
         n_sub = lc.n_in
 
         def reset_carry(cc):
@@ -374,7 +387,8 @@ class ShardedChain:
         fused = None
         if cfg.dc_block:
             use, new["dc_x"] = self._halo(tail2(xr, xi, 1), carry["dc_x"])
-            fused = self._fused_pre_sharded(xr, xi, use, carry, new, t_idx)
+            fused = self._fused_pre_sharded(xr, xi, use, carry, new,
+                                                t_idx())
             if fused is not None:
                 xr, xi = fused
             else:
@@ -388,7 +402,7 @@ class ShardedChain:
             # broadcast shard 0's leading 1024 samples (masked psum)
             nf = C.IQ_FFT_SIZE
             seg = jnp.concatenate([xr[:, :nf], xi[:, :nf]], axis=-1)
-            seg0 = jnp.where(t_idx == 0, seg, jnp.zeros_like(seg))
+            seg0 = jnp.where(t_idx() == 0, seg, jnp.zeros_like(seg))
             seg_b = jax.lax.psum(seg0, "time")
             new["iq"] = iq_balance.maybe_update_planar(
                 seg_b[:, :nf], seg_b[:, nf:], carry["iq"], lc.iq_interval,
@@ -396,7 +410,7 @@ class ShardedChain:
             xr, xi = iq_balance.apply_planar(xr, xi, new["iq"].factors)
         if fused is None and int(lc.dtheta_pre) != 0:
             phase = (carry["nco_pre"]
-                     + t_idx.astype(jnp.uint32) * jnp.uint32(n_sub)
+                     + t_idx().astype(jnp.uint32) * jnp.uint32(n_sub)
                      * lc.dtheta_pre)
             xr, xi, _ = nco.apply_planar(xr, xi, phase, lc.dtheta_pre)
             new["nco_pre"] = (carry["nco_pre"]
@@ -421,7 +435,7 @@ class ShardedChain:
         if int(lc.dtheta_post) != 0:
             n_out_sub = lc.n_out
             phase = (carry["nco_post"]
-                     + t_idx.astype(jnp.uint32) * jnp.uint32(n_out_sub)
+                     + t_idx().astype(jnp.uint32) * jnp.uint32(n_out_sub)
                      * lc.dtheta_post)
             xr, xi, _ = nco.apply_planar(xr, xi, phase, lc.dtheta_post)
             new["nco_post"] = (carry["nco_post"]
