@@ -95,7 +95,11 @@ def rms_scan(e_in: jnp.ndarray, gain: jnp.ndarray, e2: jnp.ndarray,
         g_new = jnp.clip(g_new, 1e-6, 1e6)
         return (g_new, e2_new), g_new
 
-    (g_fin, e2_fin), gains = jax.lax.scan(body, (gain, e2), e_in)
+    # ~1500 segments/block at the default geometry: the body is a handful
+    # of elementwise ops on (C,) vectors, so loop-iteration overhead
+    # dominates — unrolling packs 16 updates per XLA while-iteration
+    # (identical math, same order)
+    (g_fin, e2_fin), gains = jax.lax.scan(body, (gain, e2), e_in, unroll=16)
     return gains, g_fin, e2_fin
 
 

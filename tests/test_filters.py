@@ -49,6 +49,36 @@ def test_fir_fft_agree(rng):
     np.testing.assert_allclose(y1, y2, atol=5e-4)
 
 
+def test_fft_banded_exec_matches_dft_exec(rng):
+    """The fft method's banded-matmul execution engine (<=2048 taps) is
+    exact linear convolution — identical within float tolerance to the
+    true DFT overlap-save engine on the same filter/state geometry."""
+    taps = (rng.standard_normal(301) + 1j * rng.standard_normal(301)) \
+        .astype(np.complex64)
+    taps /= np.abs(taps).sum()
+    x = (rng.standard_normal(16384)
+         + 1j * rng.standard_normal(16384)).astype(np.complex64)
+    f = filters.StreamingFilter(taps, "fft")
+    assert f._exec_banded
+    y_banded = _run_stream(f, x, max(f.block, 2048))
+    f._exec_banded = False          # force the DFT overlap-save engine
+    y_dft = _run_stream(f, x, max(f.block, 2048))
+    np.testing.assert_allclose(y_banded, y_dft, atol=5e-4)
+
+
+def test_fft_dft_engine_large_taps(rng):
+    """> 2048 taps stays on the DFT engine and still matches lfilter."""
+    taps = rng.standard_normal(2501).astype(np.complex64)
+    taps /= np.abs(taps).sum()
+    x = (rng.standard_normal(16384)
+         + 1j * rng.standard_normal(16384)).astype(np.complex64)
+    f = filters.StreamingFilter(taps, "fft")
+    assert not f._exec_banded
+    y = _run_stream(f, x, max(f.block, 4096))
+    want = sig.lfilter(taps, [1.0], x)
+    np.testing.assert_allclose(y, want, atol=1e-3)
+
+
 def test_streaming_split_invariance(rng):
     """Different block splits give identical output (overlap-save carry)."""
     taps = rng.standard_normal(127).astype(np.complex64)

@@ -110,6 +110,34 @@ def test_channels_sharded_mesh_matches_single_runs(tmp_path):
         assert got == refs[c], f"channel {c} diverged on the mesh"
 
 
+def test_channels_checkpoint_resume(tmp_path):
+    """Interrupted multi-channel job resumed via --checkpoint produces the
+    same bytes per channel as an uninterrupted batch run."""
+    n_ch, n_frames = 2, 16384 * 4
+    for c in range(n_ch):
+        _write_noise(tmp_path / f"in_{c}.raw", n_frames, seed=300 + c)
+    args = ["-i", "raw-file", "-o", "raw", "--channels", str(n_ch)] + BASE
+
+    assert main([str(tmp_path / "in_{ch}.raw"),
+                 str(tmp_path / "full_{ch}.raw")] + args) == 0
+
+    # interrupted first half
+    for c in range(n_ch):
+        half = (tmp_path / f"in_{c}.raw").read_bytes()[: n_frames // 2 * 4]
+        (tmp_path / f"half_{c}.raw").write_bytes(half)
+    ck = tmp_path / "mc.ckpt"
+    assert main([str(tmp_path / "half_{ch}.raw"),
+                 str(tmp_path / "part_{ch}.raw"),
+                 "--checkpoint", str(ck)] + args) == 0
+    assert ck.exists()
+    assert main([str(tmp_path / "in_{ch}.raw"),
+                 str(tmp_path / "part_{ch}.raw"),
+                 "--checkpoint", str(ck), "--resume"] + args) == 0
+    for c in range(n_ch):
+        assert ((tmp_path / f"part_{c}.raw").read_bytes()
+                == (tmp_path / f"full_{c}.raw").read_bytes()), f"ch {c}"
+
+
 def test_channels_rejects_wrong_path_count(tmp_path, capsys):
     _write_noise(tmp_path / "a.raw", 1000, seed=1)
     _write_noise(tmp_path / "b.raw", 1000, seed=2)

@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 IN_RATE, OUT_RATE = 2_048_000.0, 1_488_375.0
 
 
-def measure(chain_cfg, channels: int, reps: int = 3) -> float:
+def measure(chain_cfg, channels: int, reps: int = 3,
+            ks: tuple = (3, 13)) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -48,7 +49,7 @@ def measure(chain_cfg, channels: int, reps: int = 3) -> float:
             return jnp.sum(sums)
         return run
 
-    k1, k2 = 3, 13
+    k1, k2 = ks
     f1, f2 = make(k1), make(k2)
     float(f1(raw_dev))
     float(f2(raw_dev))

@@ -37,7 +37,6 @@ def main() -> int:
     from iq_tool_tpu.ops.fir_design import FilterRequest
     from iq_tool_tpu.pipeline.chain import ChainConfig
 
-    results = []
     for c in opts.channels:
         cfg = ChainConfig(
             input_format="cs16", output_format="cs16",
@@ -45,13 +44,12 @@ def main() -> int:
             channels=c, dc_block=True, freq_shift_pre_hz=100e3,
             filters=(FilterRequest("lowpass", 400e3),),
             target_block=opts.block)
-        msps = measure(cfg, c)
-        results.append((c, msps))
-        base = results[0][1]
-        eff = msps / (c / results[0][0]) / base
+        # small-channel steps are sub-millisecond; stretch the in-jit scan
+        # so the two-length difference dwarfs tunnel jitter
+        ks = (10, 110) if c <= 16 else (3, 23)
+        msps = measure(cfg, c, ks=ks)
         print(json.dumps({"channels": c, "Msps_in": round(msps, 1),
-                          "per_channel": round(msps / c, 2),
-                          "efficiency_vs_c1": round(eff, 3)}), flush=True)
+                          "per_channel": round(msps / c, 2)}), flush=True)
     return 0
 
 
