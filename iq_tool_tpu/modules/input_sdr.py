@@ -30,7 +30,6 @@ from typing import Iterator
 from iq_tool_tpu import constants as C
 from iq_tool_tpu.modules.base import Block, InputModule, SourceInfo
 from iq_tool_tpu.utils.ringbuffer import make_ring as _make_ring
-from iq_tool_tpu.utils.ringbuffer import RingBuffer
 
 
 

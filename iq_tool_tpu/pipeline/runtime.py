@@ -36,7 +36,7 @@ import jax
 import numpy as np
 
 from iq_tool_tpu import constants as C
-from iq_tool_tpu.modules.base import InputModule, OutputClosed, OutputModule
+from iq_tool_tpu.modules.base import OutputClosed
 from iq_tool_tpu.pipeline.chain import Chain
 
 

@@ -4,7 +4,7 @@
 import numpy as np
 import pytest
 
-from iq_tool_tpu.formats import FORMATS, get_format
+from iq_tool_tpu.formats import get_format
 from iq_tool_tpu.ops import convert
 from tests import ref_dsp
 

@@ -441,7 +441,6 @@ def test_bladerf_oversample_mode(monkeypatch):
     import ctypes.util
 
     from iq_tool_tpu.modules.input_sdr import (BladeRfInput,
-                                               _BladeRfRationalRate,
                                                bladerf_resolve_bit_depth)
 
     # pure bit-depth resolution matrix

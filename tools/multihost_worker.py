@@ -28,7 +28,6 @@ tests/test_sharded.py::test_sharded_without_dc_is_exact).
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 import time
 

@@ -14,7 +14,7 @@ class ToneServer(ts.FakeSpyServer):
     def _serve(self):
         import socket, struct
         from iq_tool_tpu.modules.input_spyserver import (
-            _CMD_HEADER, _DEVICE_INFO, CMD_HELLO, CMD_SET_SETTING,
+            _CMD_HEADER, _DEVICE_INFO, CMD_SET_SETTING,
             MSG_CLIENT_SYNC, MSG_DEVICE_INFO, MSG_UINT8_IQ,
             SETTING_STREAMING_ENABLED)
         c, _ = self._srv.accept()
