@@ -85,8 +85,14 @@ class _Writer:
         self._q.join()
 
     def stop(self) -> None:
-        self._q.put(None)
-        self._thread.join()
+        try:
+            # a consumer stuck mid-write (full pipe, dead NFS...) keeps
+            # the queue full; don't let shutdown hang on it — the thread
+            # is a daemon and is abandoned after the grace period
+            self._q.put(None, timeout=2.0)
+        except queue_mod.Full:
+            self.closed = True
+        self._thread.join(timeout=10.0)
 
     def _run(self) -> None:
         while True:
