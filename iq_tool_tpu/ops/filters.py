@@ -37,6 +37,11 @@ from iq_tool_tpu.ops import fft as tfft
 from iq_tool_tpu.ops.fir_design import choose_fft_block
 
 
+# Tests force the fused overlap-save kernel in Pallas interpret mode on
+# CPU (real-Mosaic coverage is tools/tpu_smoke.py's job).
+_OSFFT_INTERPRET = False
+
+
 def tail_len(num_taps: int, method: str, user_fft_size: int | None = None) -> int:
     if method == "fir":
         return num_taps - 1
@@ -149,11 +154,50 @@ class StreamingFilter:
                                          xr, xi, tr, ti, stride, k - 1)
             return (yr, yi, banded.new_tail(state_r, xr, hist),
                     banded.new_tail(state_i, xi, hist))
+        # fused Pallas overlap-save on TPU: each 2b window is read once,
+        # four-step transformed with H folded in, and written once — vs
+        # ~8 HBM materializations on the XLA path (see pallas_kernels)
+        fused = self._osfft_planar(xr, xi, state_r, state_i)
+        if fused is not None:
+            return fused
         # overlap-save path works in the complex domain (matmul FFT)
         x = jax.lax.complex(xr, xi).astype(jnp.complex64)
         st = jax.lax.complex(state_r, state_i).astype(jnp.complex64)
         y, ns = self(x, st)
         return jnp.real(y), jnp.imag(y), jnp.real(ns), jnp.imag(ns)
+
+    def _osfft_planar(self, xr, xi, state_r, state_i):
+        from iq_tool_tpu.ops import banded, pallas_kernels
+        if not banded._on_tpu() and not _OSFFT_INTERPRET:
+            return None
+        b = self.block
+        n = xr.shape[-1]
+        if n < b:
+            return None
+        h_key = getattr(self, "_h_key", None)
+        if h_key is None:
+            h_key = self._h_key = tuple(self._h.tolist())
+        ext_r = jnp.concatenate([state_r, xr], axis=-1)
+        ext_i = jnp.concatenate([state_i, xi], axis=-1)
+        n_full = (n // b) * b
+        res = pallas_kernels.osfft_apply(
+            ext_r[:, : n_full + b], ext_i[:, : n_full + b], h_key, b,
+            interpret=_OSFFT_INTERPRET)
+        if res is None:
+            return None
+        yr, yi = res
+        r = n - n_full
+        if r:
+            # ragged tail: one re-anchored window over the final 2b
+            # samples of the extension (its first b outputs are the
+            # already-emitted overlap, discard all but the last r)
+            win = jax.lax.complex(ext_r[:, -2 * b:], ext_i[:, -2 * b:])
+            out = tfft.ifft(tfft.fft(win.astype(jnp.complex64))
+                            * self._h)[..., 2 * b - r:]
+            yr = jnp.concatenate([yr, jnp.real(out)], axis=-1)
+            yi = jnp.concatenate([yi, jnp.imag(out)], axis=-1)
+        return (yr, yi, banded.new_tail(state_r, xr, b),
+                banded.new_tail(state_i, xi, b))
 
     def __call__(self, x: jnp.ndarray, state: jnp.ndarray):
         """x: (C, N) complex64, state: (C, block) -> (y (C, N), new state).

@@ -66,6 +66,27 @@ def test_fft_banded_exec_matches_dft_exec(rng):
     np.testing.assert_allclose(y_banded, y_dft, atol=5e-4)
 
 
+def test_osfft_kernel_matches_dft_engine(rng, monkeypatch):
+    """The fused Pallas overlap-save kernel (interpret mode) against the
+    XLA DFT engine, including the ragged re-anchored final window."""
+    monkeypatch.setattr(filters, "_OSFFT_INTERPRET", True)
+    taps = rng.standard_normal(2175).astype(np.complex64)
+    taps /= np.abs(taps).sum()
+    f = filters.StreamingFilter(taps, "fft")
+    assert not f._exec_banded
+    b = f.block
+    n = 2 * b + 1000                       # ragged tail exercised
+    x = (rng.standard_normal((2, n))
+         + 1j * rng.standard_normal((2, n))).astype(np.complex64)
+    state = (rng.standard_normal((2, b)).astype(np.float32),
+             rng.standard_normal((2, b)).astype(np.float32))
+    got = f.apply_planar(np.real(x), np.imag(x), *state)
+    monkeypatch.setattr(filters, "_OSFFT_INTERPRET", False)
+    want = f.apply_planar(np.real(x), np.imag(x), *state)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-4)
+
+
 def test_fft_dft_engine_large_taps(rng):
     """> 2048 taps stays on the DFT engine and still matches lfilter."""
     taps = rng.standard_normal(2501).astype(np.complex64)
