@@ -174,28 +174,48 @@ class StreamingFilter:
         n = xr.shape[-1]
         if n < b:
             return None
+        # 3/4-window advance (25% overlap) when the taps fit in a
+        # quarter window; else the classic half-window advance.  Both
+        # are exact; 3b/2 runs 33% fewer DFT windows per output sample.
+        adv = 3 * b // 2 if (self.num_taps - 1) * 2 <= b else b
         h_key = getattr(self, "_h_key", None)
         if h_key is None:
             h_key = self._h_key = tuple(self._h.tolist())
         ext_r = jnp.concatenate([state_r, xr], axis=-1)
         ext_i = jnp.concatenate([state_i, xi], axis=-1)
-        n_full = (n // b) * b
+        n_full = (n // adv) * adv
         res = pallas_kernels.osfft_apply(
             ext_r[:, : n_full + b], ext_i[:, : n_full + b], h_key, b,
-            interpret=_OSFFT_INTERPRET)
+            advance=adv, interpret=_OSFFT_INTERPRET)
+        if res is None and adv != b:
+            n_full = (n // b) * b
+            adv = b
+            res = pallas_kernels.osfft_apply(
+                ext_r[:, : n_full + b], ext_i[:, : n_full + b], h_key, b,
+                advance=b, interpret=_OSFFT_INTERPRET)
         if res is None:
             return None
         yr, yi = res
-        r = n - n_full
-        if r:
-            # ragged tail: one re-anchored window over the final 2b
-            # samples of the extension (its first b outputs are the
-            # already-emitted overlap, discard all but the last r)
-            win = jax.lax.complex(ext_r[:, -2 * b:], ext_i[:, -2 * b:])
-            out = tfft.ifft(tfft.fft(win.astype(jnp.complex64))
-                            * self._h)[..., 2 * b - r:]
-            yr = jnp.concatenate([yr, jnp.real(out)], axis=-1)
-            yi = jnp.concatenate([yi, jnp.imag(out)], axis=-1)
+        # ragged tail (< advance samples): re-anchored XLA windows, at
+        # most two since advance <= 2b.  Window for outputs [s, s+b) is
+        # ext[s : s + 2b]; the final one is re-anchored at n - b and its
+        # duplicated head outputs are discarded.
+        parts = [yr], [yi]
+        s = n_full
+        while s < n:
+            st = min(s, n - b)
+            win = jax.lax.complex(ext_r[:, st:st + 2 * b],
+                                  ext_i[:, st:st + 2 * b])
+            out = tfft.ifft(tfft.fft(win.astype(jnp.complex64)) * self._h)
+            out = out[..., b + (s - st):]
+            take = st + b - s            # st + b <= n always
+            out = out[..., :take]
+            parts[0].append(jnp.real(out))
+            parts[1].append(jnp.imag(out))
+            s += take
+        if len(parts[0]) > 1:
+            yr = jnp.concatenate(parts[0], axis=-1)
+            yi = jnp.concatenate(parts[1], axis=-1)
         return (yr, yi, banded.new_tail(state_r, xr, b),
                 banded.new_tail(state_i, xi, b))
 

@@ -501,7 +501,9 @@ def dc_block_apply(xr: jnp.ndarray, xi: jnp.ndarray, state: jnp.ndarray,
 # materializes ~8 full-size intermediates in HBM around the four-step
 # matmuls (measured 22 ms for config #4's 2175-tap notch); here each
 # window is read once, transformed (four-step with n1 = 128 MXU-sized
-# factors, H folded in, inverse), and only its valid half is written.
+# factors, H folded in, inverse), and only its valid (non-overlap) tail
+# is written — the last b samples at half-window advance, or the last
+# 3b/2 at 3/4-window advance (25% overlap) when taps-1 <= b/2.
 # Derivation (forward kernel W = e^{-2pi i/N}, N = 2b = n1*n2,
 # n = i1*n2 + i2, k = k1 + n1*k2):
 #   A[k1,i2] = sum_i1 F1[k1,i1] v[i1,i2]         (as A^T = v^T @ F1)
@@ -511,8 +513,9 @@ def dc_block_apply(xr: jnp.ndarray, xi: jnp.ndarray, state: jnp.ndarray,
 #   B[k1,i2]  = sum_k2 Z[k1,k2] conj(F2)[k2,i2]
 #   B *= conj(T1)^T[k1,i2]
 #   y[i1,i2]  = sum_k1 conj(F1)[i1,k1] B[k1,i2]  (as y^T = B^T @ conj(F1))
-# Output rows i1 >= n1/2 are the valid b samples.  Matmuls use planar
-# Karatsuba (3 real products) with the 3-term bf16 scheme (~4e-5).
+# Output rows i1 >= (4-aq)*n1/4 are the emitted advance samples (aq =
+# quarters advanced per window: 2 or 3).  Matmuls use planar Karatsuba
+# (3 real products) with the 3-term bf16 scheme (~4e-5).
 
 _N1 = 128
 
@@ -535,10 +538,11 @@ def _cmul(ar, ai, cr, ci):
     return ar * cr - ai * ci, ar * ci + ai * cr
 
 
-def _osfft_kernel(s0r, s0i, s1r, s1i, f1, f2, f2c, f1c,
+def _osfft_kernel(s0r, s1r, s2r, s3r, s0i, s1i, s2i, s3i,
+                  f1, f2, f2c, f1c,
                   t1r, t1i, tcr, tci, h2r, h2i, out_r, out_i,
-                  vr_s, vi_s, *, n2, cb):
-    h1 = _N1 // 2
+                  vr_s, vi_s, *, n2, cb, aq):
+    q1 = _N1 // 4                  # i1 rows per quarter-window
 
     def mm3(xr, xi, m6):
         """batched (cb, rows, k) planar @ complex const (k, n)."""
@@ -549,12 +553,12 @@ def _osfft_kernel(s0r, s0i, s1r, s1i, f1, f2, f2c, f1c,
                 yi.reshape(cb, rows, yi.shape[-1]))
 
     sw = lambda a: jnp.swapaxes(a, -1, -2)
-    # assemble (cb, n1, n2) windows from the two b-wide halves via
-    # scratch stores (wide lane concats miscompile in Mosaic)
-    vr_s[:, :h1, :] = s0r[...].reshape(cb, h1, n2)
-    vr_s[:, h1:, :] = s1r[...].reshape(cb, h1, n2)
-    vi_s[:, :h1, :] = s0i[...].reshape(cb, h1, n2)
-    vi_s[:, h1:, :] = s1i[...].reshape(cb, h1, n2)
+    # assemble (cb, n1, n2) windows from the four quarter-wide segments
+    # via scratch stores (wide lane concats miscompile in Mosaic)
+    for q, (sr, si) in enumerate(((s0r, s0i), (s1r, s1i),
+                                  (s2r, s2i), (s3r, s3i))):
+        vr_s[:, q * q1:(q + 1) * q1, :] = sr[...].reshape(cb, q1, n2)
+        vi_s[:, q * q1:(q + 1) * q1, :] = si[...].reshape(cb, q1, n2)
     # forward: A^T = v^T @ F1, twiddle in (i2, k1) layout
     atr, ati = mm3(sw(vr_s[...]), sw(vi_s[...]), f1)
     atr, ati = _cmul(atr, ati, t1r[...], t1i[...])
@@ -564,11 +568,13 @@ def _osfft_kernel(s0r, s0i, s1r, s1i, f1, f2, f2c, f1c,
     br, bi = mm3(zr, zi, f2c)
     br, bi = _cmul(br, bi, tcr[...], tci[...])
     ytr, yti = mm3(sw(br), sw(bi), f1c)
-    # yt is (cb, i2, i1); valid output rows are i1 >= n1/2
-    yr = sw(ytr)[:, h1:, :]
-    yi = sw(yti)[:, h1:, :]
-    out_r[...] = yr.reshape(cb, h1 * n2)
-    out_i[...] = yi.reshape(cb, h1 * n2)
+    # yt is (cb, i2, i1); the window advances aq quarters per grid step,
+    # so the valid (non-overlap) output rows are i1 >= (4-aq)*n1/4
+    lo = (4 - aq) * q1
+    yr = sw(ytr)[:, lo:, :]
+    yi = sw(yti)[:, lo:, :]
+    out_r[...] = yr.reshape(cb, aq * q1 * n2)
+    out_i[...] = yi.reshape(cb, aq * q1 * n2)
 
 
 def _pack_complex(m: np.ndarray) -> np.ndarray:
@@ -581,7 +587,10 @@ def _pack_complex(m: np.ndarray) -> np.ndarray:
 @functools.lru_cache(maxsize=8)
 def _osfft_consts(nfft: int, h_key) -> tuple | None:
     n1 = _N1
-    if nfft % n1 or nfft // n1 > 256 or nfft // n1 < 8:
+    # n2 < 128 makes the kernel's (cb, rows, n2) reshapes' minor dim
+    # sub-lane-width: Mosaic rejects the shape cast ("unsupported shape
+    # cast", measured at nfft 8192) — fall back to the XLA engine
+    if nfft % n1 or nfft // n1 > 256 or nfft // n1 < 128:
         return None
     n2 = nfft // n1
     if n2 & (n2 - 1):
@@ -602,28 +611,46 @@ def _osfft_consts(nfft: int, h_key) -> tuple | None:
 
 
 def osfft_apply(ext_r: jnp.ndarray, ext_i: jnp.ndarray, h: tuple,
-                block: int, interpret: bool = False):
+                block: int, advance: int | None = None,
+                interpret: bool = False):
     """Full-window overlap-save pass: ext (C, n_full + b) planar (state ++
     samples) -> (C, n_full) filtered planar, or None if the geometry
-    cannot lower.  ``h`` is the frequency response as a hashable tuple."""
+    cannot lower.  ``h`` is the frequency response as a hashable tuple.
+
+    ``advance`` is the window stride in samples: b (classic 50%-overlap,
+    the default) or 3b/2 (25%-overlap, valid when taps-1 <= b/2 — which
+    the choose_fft_block doubling rule guarantees for auto-sized
+    filters).  3b/2 runs 33% fewer windows for the same output.
+    n_full must be a multiple of ``advance``.
+    """
     consts = _osfft_consts(2 * block, h)
     if consts is None:
         return None
     (n2, f1, f2, f2c, f1c, t1r, t1i, tcr, tci, h2r, h2i) = consts
+    advance = block if advance is None else advance
+    g = block // 2                       # quarter-window width
+    aq = advance // g                    # quarters advanced per window
+    if advance not in (2 * g, 3 * g) or aq * g != advance:
+        return None
     ch, total = ext_r.shape
     n_full = total - block
-    if n_full <= 0 or n_full % block:
+    if n_full <= 0 or n_full % advance:
         return None
     cb = 8 if ch % 8 == 0 else ch
-    nw = n_full // block
+    nw = n_full // advance
     grid = (ch // cb, nw)
-    seg = pl.BlockSpec((cb, block), lambda c, w: (c, w),
+    # Each window is assembled from four quarter-wide segments.  Window w
+    # must END at x[(w+1)*advance - 1] so its last ``advance`` outputs are
+    # x[w*advance : (w+1)*advance]; with ext = state(b) ++ x that puts
+    # quarter q of window w at ext element g*(aq*w + q + aq - 2).  Each
+    # quarter is fed from a shifted VIEW of the extension at offset
+    # (q + aq - 2)*g with a stride-aq index map, keeping the map a plain
+    # scale (constant offsets in the index_map trip a closed_call
+    # lowering KeyError in this jax version; views sidestep it).
+    views = [(ext_r[:, (q + aq - 2) * g:], ext_i[:, (q + aq - 2) * g:])
+             for q in range(4)]
+    seg = pl.BlockSpec((cb, g), lambda c, w, aq=aq: (c, aq * w),
                        memory_space=pltpu.VMEM)
-    # the second window half comes from a shifted VIEW of the extension
-    # (same index map; avoids arithmetic in the index_map, which trips a
-    # closed_call lowering KeyError in this jax version)
-    ext_r1 = ext_r[:, block:]
-    ext_i1 = ext_i[:, block:]
 
     def cmat(m):
         return pl.BlockSpec(m.shape, lambda c, w: (0,) * m.ndim,
@@ -631,12 +658,12 @@ def osfft_apply(ext_r: jnp.ndarray, ext_i: jnp.ndarray, h: tuple,
 
     mats = [jnp.asarray(m) for m in
             (f1, f2, f2c, f1c, t1r, t1i, tcr, tci, h2r, h2i)]
-    out_spec = pl.BlockSpec((cb, block), lambda c, w: (c, w),
+    out_spec = pl.BlockSpec((cb, advance), lambda c, w: (c, w),
                             memory_space=pltpu.VMEM)
     yr, yi = pl.pallas_call(
-        functools.partial(_osfft_kernel, n2=n2, cb=cb),
+        functools.partial(_osfft_kernel, n2=n2, cb=cb, aq=aq),
         grid=grid,
-        in_specs=[seg, seg, seg, seg] + [cmat(m) for m in mats],
+        in_specs=[seg] * 8 + [cmat(m) for m in mats],
         out_specs=(out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((ch, n_full), jnp.float32),
                    jax.ShapeDtypeStruct((ch, n_full), jnp.float32)),
@@ -649,5 +676,5 @@ def osfft_apply(ext_r: jnp.ndarray, ext_i: jnp.ndarray, h: tuple,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(ext_r[:, :n_full], ext_i[:, :n_full], ext_r1, ext_i1, *mats)
+    )(*[v[0] for v in views], *[v[1] for v in views], *mats)
     return yr, yi

@@ -66,15 +66,21 @@ def test_fft_banded_exec_matches_dft_exec(rng):
     np.testing.assert_allclose(y_banded, y_dft, atol=5e-4)
 
 
-def test_osfft_kernel_matches_dft_engine(rng, monkeypatch):
+@pytest.mark.parametrize("num_taps,user_fft", [
+    (2175, None),    # auto block 8192: taps-1 <= b/2 -> 3/4-window advance
+    (5000, 16384),   # forced block 8192: taps-1 > b/2 -> half-window advance
+])
+def test_osfft_kernel_matches_dft_engine(rng, monkeypatch, num_taps,
+                                         user_fft):
     """The fused Pallas overlap-save kernel (interpret mode) against the
     XLA DFT engine, including the ragged re-anchored final window."""
     monkeypatch.setattr(filters, "_OSFFT_INTERPRET", True)
-    taps = rng.standard_normal(2175).astype(np.complex64)
+    taps = rng.standard_normal(num_taps).astype(np.complex64)
     taps /= np.abs(taps).sum()
-    f = filters.StreamingFilter(taps, "fft")
+    f = filters.StreamingFilter(taps, "fft", user_fft)
     assert not f._exec_banded
     b = f.block
+    assert b == 8192
     n = 2 * b + 1000                       # ragged tail exercised
     x = (rng.standard_normal((2, n))
          + 1j * rng.standard_normal((2, n))).astype(np.complex64)
@@ -190,6 +196,7 @@ def test_choose_fft_block():
     assert fir_design.choose_fft_block(129) == 2048
     assert fir_design.choose_fft_block(1024) == 2048
     assert fir_design.choose_fft_block(3000) == 8192
+    assert fir_design.choose_fft_block(2175) == 8192
     assert fir_design.choose_fft_block(100, user_fft_size=512) == 256
     with pytest.raises(ValueError):
         fir_design.choose_fft_block(1000, user_fft_size=512)
