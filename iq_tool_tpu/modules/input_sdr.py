@@ -113,7 +113,13 @@ class _SdrInputBase(InputModule):
         self._reset_pending = False
         self._dropped = 0
         self._dropped_warns = 0
-        self._rt_reset = False
+        # monotonic event counter, not a flag: the driver-thread producer
+        # only increments and the consumer only compares/latches, so a
+        # reset arriving between the consumer's read and its state update
+        # is seen on the next block instead of erased (a read-then-clear
+        # flag would lose it entirely)
+        self._rt_reset = 0
+        self._rt_reset_seen = 0
         self._reader_thread: threading.Thread | None = None
 
     def _common_init(self, args) -> None:
@@ -162,7 +168,7 @@ class _SdrInputBase(InputModule):
             if not packets.write_reset_event(self._ring, self._fmt.name):
                 self._reset_pending = True
         else:
-            self._rt_reset = True
+            self._rt_reset += 1
 
     # -- consumer side ----------------------------------------------------------
 
@@ -177,8 +183,9 @@ class _SdrInputBase(InputModule):
             buf = self._ring.read(want)
             if not buf:
                 return
-            disc = self._rt_reset
-            self._rt_reset = False
+            pending = self._rt_reset
+            disc = pending != self._rt_reset_seen
+            self._rt_reset_seen = pending
             yield Block(payload=buf[: len(buf) // bpf * bpf],
                         discontinuity=disc)
             if len(buf) < want:

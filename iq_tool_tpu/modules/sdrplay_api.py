@@ -17,7 +17,7 @@ import ctypes as ct
 # ---- enums (ints on the wire) ----------------------------------------------
 
 SUCCESS = 0
-STOP_PENDING = 3                      # sdrplay_api_StopPending
+STOP_PENDING = 15                     # sdrplay_api_StopPending (ErrT 0..17)
 
 # hwVer ids (sdrplay_api.h SDRPLAY_RSP*_ID)
 RSP1, RSP2, RSPduo, RSPdx = 1, 2, 3, 4
@@ -56,12 +56,12 @@ EVT_GAIN_CHANGE, EVT_POWER_OVERLOAD, EVT_DEVICE_REMOVED, \
     EVT_RSPDUO_MODE_CHANGE, EVT_DEVICE_FAILURE = 0, 1, 2, 3, 4
 OVERLOAD_DETECTED, OVERLOAD_CORRECTED = 0, 1
 
-# ReasonForUpdate bits used here
+# ReasonForUpdate bits used here (sdrplay_api_ReasonForUpdateT)
 UPDATE_NONE = 0
-UPDATE_CTRL_OVERLOAD_MSG_ACK = 0x00100000
-UPDATE_RSP1A_BIAST = 0x00000040
-UPDATE_RSP2_BIAST = 0x00000200
-UPDATE_RSPDUO_BIAST = 0x00020000
+UPDATE_CTRL_OVERLOAD_MSG_ACK = 0x04000000
+UPDATE_RSP1A_BIAST = 0x00000010
+UPDATE_RSP2_BIAST = 0x00000080
+UPDATE_RSPDUO_BIAST = 0x08000000
 UPDATE_EXT1_NONE = 0
 UPDATE_EXT1_RSPDX_BIAST = 0x00000002
 

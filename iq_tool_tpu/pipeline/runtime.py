@@ -62,7 +62,7 @@ class _Writer:
     oldest readback is forced (reference writer thread + 1 GB ring,
     pipeline.c:418-434, sized WRITER_QUEUE_DEPTH here)."""
 
-    def __init__(self, sinks, items_per_frame: int, bytes_per_item: int,
+    def __init__(self, sinks, items_per_frame: int,
                  summary: StreamSummary, depth: int):
         self._sinks = sinks
         self._items = items_per_frame
@@ -359,8 +359,7 @@ class StreamEngine:
 
         gen_fn = self._gen_single if n_channels == 1 else self._gen_multi
         reader = _Reader(gen_fn(block_bytes, bpf, skip_frames * bpf))
-        writer = _Writer(self.sinks, ch.fmt_out.items_per_frame,
-                         np.dtype(ch.out_wire_dtype).itemsize, s,
+        writer = _Writer(self.sinks, ch.fmt_out.items_per_frame, s,
                          self.pipeline_depth)
 
         def process(chunks: list[bytes], valid_frames: int, reset: bool):
