@@ -66,6 +66,7 @@ class FakeSdrplayLib:
 
     def __init__(self, hw_ver=sp.RSPdx):
         self.calls = []
+        self.update_reasons = []       # (reasonForUpdate, reasonExt1) pairs
         self.hw_ver = hw_ver
         self.dev_params = sp.DevParamsT()
         self.rx_a = sp.RxChannelParams()
@@ -80,6 +81,8 @@ class FakeSdrplayLib:
 
         def fn(*a):
             self.calls.append(name)
+            if name == "sdrplay_api_Update":
+                self.update_reasons.append((int(a[2]), int(a[3])))
             if name == "sdrplay_api_GetDevices":
                 devs = a[0]
                 devs[0].SerNo = b"FAKE0001"
@@ -196,6 +199,12 @@ def test_sdrplay_mock_stream(monkeypatch):
     assert any(b.discontinuity for b in blocks)
     assert mod.heartbeat > 0.0
     assert "sdrplay_api_Update" in fake.calls       # overload ack + bias-T
+    # the ack must carry the vendor header's OverloadMsgAck bit — any
+    # other ReasonForUpdate value fires an unrelated tuner update on
+    # real hardware (sdrplay_api.h: sdrplay_api_Update_Ctrl_OverloadMsgAck)
+    assert (0x04000000, 0) in fake.update_reasons
+    # RSPdx bias-T rides ReasonForUpdateExtension1T (RspDx_BiasTControl)
+    assert (0, 0x00000002) in fake.update_reasons
     mod.close()
     assert "sdrplay_api_Uninit" in fake.calls
     assert fake.calls.index("sdrplay_api_Uninit") < \
@@ -264,3 +273,54 @@ def test_sdrplay_invalid_lna_state(monkeypatch):
 
     with pytest.raises(ValueError, match="LNA state"):
         SdrPlayInput().initialize(None, BadLna())
+
+
+@pytest.mark.parametrize("hw,reason,ext1", [
+    (sp.RSP1A, 0x00000010, 0),      # sdrplay_api_Update_Rsp1a_BiasTControl
+    (sp.RSP2, 0x00000080, 0),       # sdrplay_api_Update_Rsp2_BiasTControl
+    (sp.RSPduo, 0x08000000, 0),     # sdrplay_api_Update_RspDuo_BiasTControl
+])
+def test_sdrplay_bias_t_update_reason(monkeypatch, hw, reason, ext1):
+    """Post-Init bias-T Update must carry the vendor header's exact
+    ReasonForUpdate bit for the device family (input_sdrplay.c:797-830);
+    a wrong bit silently toggles notch/antenna/retune state instead."""
+    fake = FakeSdrplayLib(hw_ver=hw)
+    _patched(monkeypatch, fake)
+
+    class BiasArgs(Args):
+        sdrplay_antenna = None if hw != sp.RSP2 else "B"
+        sdrplay_hdr_mode = False
+
+    mod = SdrPlayInput()
+    mod.initialize(None, BiasArgs())
+    mod._start_hardware()
+    assert (reason, ext1) in fake.update_reasons
+    mod.close()
+
+
+def test_realtime_reset_counter_never_lost(monkeypatch):
+    """Resets arriving between block yields surface on the NEXT block
+    (monotonic counter latch) — a read-then-clear flag could erase one."""
+    fake = FakeSdrplayLib()
+    _patched(monkeypatch, fake)
+    mod = SdrPlayInput()
+    mod.initialize(None, Args())
+    mod._start_hardware = lambda: None          # ring is fed directly
+    bpf = mod._fmt.bytes_per_frame
+    mod._ring.write(b"\0" * (3 * 512 * bpf))
+    mod._ring.signal_end_of_stream()
+
+    it = mod.blocks(512)
+    # two resets before the first block coalesce into one marker
+    mod._deliver_reset()
+    mod._deliver_reset()
+    b1 = next(it)
+    assert b1.discontinuity
+    # no reset since -> clean block
+    b2 = next(it)
+    assert not b2.discontinuity
+    # reset between yields (the racy window) is latched, not erased
+    mod._deliver_reset()
+    b3 = next(it)
+    assert b3.discontinuity
+    mod.close()
