@@ -1,0 +1,141 @@
+"""CLI option-combination fuzz: random VALID flag sets, end-to-end.
+
+Drives `cli.main` in-process on small streams, asserting rc == 0 and the
+exact expected output frame count for every sampled combination of
+format / rate / filter-chain / AGC / shift / block-size options.  This
+covers the config-resolution and validation seams (reference
+config.c:66-399) at CLI level, beyond the fixed configs in the test
+suite.
+
+    python tools/cli_fuzz.py [--n 60] [--seed 0]
+
+Exit code 0 = all combinations passed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+FORMATS_IN = ["cu8", "cs8", "cs16", "cf32", "sc16q11", "cs24"]
+FORMATS_OUT = ["cu8", "cs16", "cf32", "cs24"]
+RATES = [(2_048_000, 1_488_375), (2_048_000, 1_024_000),
+         (1_000_000, 2_000_000), (912_000, 912_000)]
+
+
+def one_case(rng: np.random.Generator, idx: int) -> dict:
+    from iq_tool_tpu import cli
+    from iq_tool_tpu.formats import get_format
+
+    fin = rng.choice(FORMATS_IN)
+    fout = rng.choice(FORMATS_OUT)
+    rate_in, rate_out = RATES[rng.integers(len(RATES))]
+    n = int(rng.integers(20_000, 120_000))
+    fmt = get_format(fin)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in.raw")
+        dst = os.path.join(tmp, "out.raw")
+        payload = rng.integers(0, 256, n * fmt.bytes_per_frame,
+                               dtype=np.uint8)
+        payload.tofile(src)
+
+        args = [src, dst, "-i", "raw-file", "-o", "raw",
+                "--raw-file-input-rate", str(rate_in),
+                "--raw-file-input-sample-format", fin,
+                "--output-rate", str(rate_out),
+                "--output-sample-format", fout,
+                "--force-overwrite", "--log-level", "error"]
+        opts = {"rate": (rate_in, rate_out), "fin": fin, "fout": fout,
+                "n": n}
+        if rng.random() < 0.5:
+            args += ["--dc-block"]
+            opts["dc"] = 1
+        if rng.random() < 0.25:
+            args += ["--dc-block", "--iq-correction"]
+            opts["iq"] = 1
+        if rng.random() < 0.5:
+            shift = float(rng.integers(-200, 200)) * 1e3
+            args += ["--freq-shift", str(shift)]
+            opts["shift"] = shift
+        nyq = min(rate_in, rate_out) / 2
+        nfilt = int(rng.integers(0, 3))
+        kinds = ["--lowpass", "--highpass", "--pass-range", "--stopband"]
+        for k in range(nfilt):
+            sfx = "" if k == 0 else f"-{k + 1}"
+            kind = kinds[rng.integers(len(kinds))]
+            if kind in ("--lowpass", "--highpass"):
+                f = float(rng.integers(10, int(nyq * 0.7 / 1e3))) * 1e3
+                args += [kind + sfx, str(f)]
+            else:
+                lo = float(rng.integers(-int(nyq * 0.3 / 1e3),
+                                        int(nyq * 0.2 / 1e3))) * 1e3
+                hi = lo + float(rng.integers(10, 100)) * 1e3
+                hi = min(hi, nyq * 0.8)
+                if hi - lo < 5e3:
+                    continue
+                args += [kind + sfx, f"{lo}:{hi}"]
+            opts[f"filt{k}"] = args[-2:]
+        if rng.random() < 0.3:
+            prof = ["dx", "local", "digital"][rng.integers(3)]
+            args += ["--output-agc", "--agc-profile", prof]
+            opts["agc"] = prof
+        if rng.random() < 0.3:
+            args += ["--block-size", str(int(2 ** rng.integers(13, 16)))]
+        if rng.random() < 0.3:
+            args += ["--pipeline-depth", str(int(rng.integers(1, 5)))]
+        if rng.random() < 0.2 and rate_in == rate_out:
+            # --no-resample conflicts with --output-rate (reference
+            # config.c:256-399 validation): replace, don't combine
+            i = args.index("--output-rate")
+            del args[i:i + 2]
+            args += ["--no-resample"]
+            opts["no_resample"] = 1
+
+        rc = cli.main(args)
+        out_fmt = get_format(fout)
+        got = os.path.getsize(dst) // out_fmt.bytes_per_frame if rc == 0 \
+            else -1
+        from fractions import Fraction
+        fr = Fraction(rate_out, rate_in).limit_denominator(1_000_000)
+        want = n * fr.numerator // fr.denominator \
+            if rate_in != rate_out else n
+        ok = rc == 0 and got == want
+        return {"idx": idx, "ok": ok, "rc": rc, "got": got, "want": want,
+                "opts": opts}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=60)
+    ap.add_argument("--seed", type=int, default=0)
+    a = ap.parse_args()
+    rng = np.random.default_rng(a.seed)
+    bad = 0
+    for i in range(a.n):
+        try:
+            r = one_case(rng, i)
+        except Exception as e:  # a crash IS the finding
+            r = {"idx": i, "ok": False, "error": repr(e)[:300]}
+        if not r["ok"]:
+            bad += 1
+            print(json.dumps(r), flush=True)
+        elif i % 10 == 0:
+            print(json.dumps({"idx": i, "ok": True}), flush=True)
+    print(json.dumps({"total": a.n, "failed": bad}), flush=True)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
