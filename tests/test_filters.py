@@ -217,3 +217,21 @@ def test_non_multiple_block_length(rng):
     got = np.concatenate(outs)
     want = sig.lfilter(taps, [1.0], x)
     np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_osfft_kernel_channel_blocking(rng, monkeypatch):
+    """channels % 8 == 0 engages the cb=8 grid path (two grid dims)."""
+    monkeypatch.setattr(filters, "_OSFFT_INTERPRET", True)
+    taps = rng.standard_normal(2175).astype(np.complex64)
+    taps /= np.abs(taps).sum()
+    f = filters.StreamingFilter(taps, "fft")
+    b = f.block
+    n = 3 * b // 2 + 1000
+    xr = rng.standard_normal((8, n)).astype(np.float32)
+    xi = rng.standard_normal((8, n)).astype(np.float32)
+    st = (np.zeros((8, b), np.float32), np.zeros((8, b), np.float32))
+    got = f.apply_planar(xr, xi, *st)
+    monkeypatch.setattr(filters, "_OSFFT_INTERPRET", False)
+    want = f.apply_planar(xr, xi, *st)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-4)
