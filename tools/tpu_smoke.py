@@ -118,6 +118,37 @@ def main() -> int:
         check("flagship chain (dc+shift+resample+lowpass)", False,
               f"cli rc={rc}")
 
+    # fused overlap-save kernel at bench framing: the CLI-default block
+    # (n_out 11907 < advance 12288) never reaches the 3/4-window-advance
+    # Pallas path, so validate it directly — on-device kernel output
+    # (incl. the ragged re-anchored tail) vs a float64 host oracle
+    try:
+        from iq_tool_tpu.ops import filters as _filters
+        rng = np.random.default_rng(0)
+        taps = rng.standard_normal(2175).astype(np.complex64)
+        taps /= np.abs(taps).sum()
+        sf = _filters.StreamingFilter(taps, "fft")
+        b = sf.block
+        n = 3 * b + 5000                      # 2 windows at adv 3b/2 + tail
+        xr = rng.standard_normal((8, n)).astype(np.float32)
+        xi = rng.standard_normal((8, n)).astype(np.float32)
+        st = (rng.standard_normal((8, b)).astype(np.float32),
+              rng.standard_normal((8, b)).astype(np.float32))
+        run = jax.jit(lambda a, c, d, e: sf.apply_planar(a, c, d, e)[:2])
+        gr, gi = jax.device_get(run(xr, xi, *st))
+        ext = (np.concatenate([st[0], xr], -1)
+               + 1j * np.concatenate([st[1], xi], -1)).astype(np.complex128)
+        h128 = np.fft.ifft(np.asarray(sf._h).astype(np.complex128))
+        L = 1 << int(np.ceil(np.log2(ext.shape[-1] + sf.nfft)))
+        ref = np.fft.ifft(np.fft.fft(ext, L, axis=-1)
+                          * np.fft.fft(h128, L), axis=-1)[:, b:b + n]
+        err = float(np.max(np.abs((gr + 1j * gi) - ref)))
+        check("osfft 3/4-advance kernel vs host oracle", err < 2e-3,
+              f"max abs err {err:.2e}")
+    except Exception as e:
+        check("osfft 3/4-advance kernel vs host oracle", False,
+              str(e)[:200])
+
     # sharded step on the real chip (1-device mesh): exercises the FUSED
     # Pallas pre-stage on the sharded path (zero-start kernel + linear
     # prefix correction) against the plain chain
