@@ -87,22 +87,38 @@ static void build_phase_table(void) {
 }
 
 static float fir_taps[FIR_TAPS];
+static const float *g_fir = fir_taps;    /* active post-filter */
+static int g_ntaps = FIR_TAPS;
 
-static void build_fir(void) {
+static void kaiser_lowpass(float *dst, int ntaps, double fc) {
     double beta = kaiser_beta(ATTEN_DB);
-    double fc = 400000.0 / RATE_OUT;         /* normalized cutoff */
     double sum = 0.0;
-    int m = FIR_TAPS / 2;
-    for (int k = 0; k < FIR_TAPS; k++) {
+    int m = ntaps / 2;
+    for (int k = 0; k < ntaps; k++) {
         double t = k - m;
         double warg = 1.0 - (t / (m + 1.0)) * (t / (m + 1.0));
         double w = bessel_i0(beta * sqrt(warg > 0 ? warg : 0)) / bessel_i0(beta);
         double x = 2.0 * fc * t;
         double g = (fabs(x) < 1e-12) ? 1.0 : sin(M_PI * x) / (M_PI * x);
-        fir_taps[k] = (float)(2.0 * fc * g * w);
-        sum += fir_taps[k];
+        dst[k] = (float)(2.0 * fc * g * w);
+        sum += dst[k];
     }
-    for (int k = 0; k < FIR_TAPS; k++) fir_taps[k] /= (float)sum;
+    for (int k = 0; k < ntaps; k++) dst[k] /= (float)sum;
+}
+
+static void build_fir(void) {
+    kaiser_lowpass(fir_taps, FIR_TAPS, 400000.0 / RATE_OUT);
+}
+
+/* symmetric DC notch (stop |f| <= edge_hz) by spectral inversion of a
+ * unity-DC Kaiser low-pass (filter.c:94-99 semantics) */
+static void build_notch(int ntaps, double edge_hz) {
+    float *t = malloc((size_t)ntaps * sizeof(float));
+    kaiser_lowpass(t, ntaps, edge_hz / RATE_OUT);
+    for (int k = 0; k < ntaps; k++) t[k] = -t[k];
+    t[ntaps / 2] += 1.0f;
+    g_fir = t;
+    g_ntaps = ntaps;
 }
 
 /* ------------------------------- chain ---------------------------------- */
@@ -146,9 +162,9 @@ static void *fir_span(void *arg) {
         const float *pi = s->xi + m;
         const float *pq = s->xq + m;
         float ai = 0.f, aq = 0.f;
-        for (int k = 0; k < FIR_TAPS; k++) {
-            ai += pi[k] * fir_taps[k];
-            aq += pq[k] * fir_taps[k];
+        for (int k = 0; k < g_ntaps; k++) {
+            ai += pi[k] * g_fir[k];
+            aq += pq[k] * g_fir[k];
         }
         /* round-half-away + clamp (sample_convert.c contract) */
         float si = ai * 32768.0f, sq = aq * 32768.0f;
@@ -180,9 +196,14 @@ int main(int argc, char **argv) {
     build_fir();
 
     /* 4th arg "tone:<hz>:<outfile>" switches to a quality-check run: feed a
-     * complex tone, write one pass of cs16 output for SNR verification */
+     * complex tone, write one pass of cs16 output for SNR verification.
+     * "notch:<hzA>:<hzB>:<outfile>" instead feeds TWO tones and swaps the
+     * 55-tap low-pass for a 1101-tap spectral-inversion DC notch
+     * (|f| <= 5 kHz stopped, matching the repo's stop-range center 0
+     * width 10 kHz) — the golden partner for the DFT-engine path. */
     const char *tone_spec = argc > 4 ? argv[4] : NULL;
-    double tone_hz = 0.0;
+    double tone_hz = 0.0, tone_hz_b = 0.0;
+    int two_tone = 0;
     const char *tone_out = NULL;
     char tone_buf[256];
     if (tone_spec && strncmp(tone_spec, "tone:", 5) == 0) {
@@ -191,14 +212,33 @@ int main(int argc, char **argv) {
         char *colon = strchr(tone_buf, ':');
         if (colon) { *colon = 0; tone_out = colon + 1; }
         tone_hz = atof(tone_buf);
+    } else if (tone_spec && strncmp(tone_spec, "notch:", 6) == 0) {
+        strncpy(tone_buf, tone_spec + 6, sizeof(tone_buf) - 1);
+        tone_buf[sizeof(tone_buf) - 1] = 0;
+        char *c1 = strchr(tone_buf, ':');
+        if (c1) {
+            *c1 = 0;
+            char *c2 = strchr(c1 + 1, ':');
+            if (c2) { *c2 = 0; tone_out = c2 + 1; }
+            tone_hz_b = atof(c1 + 1);
+        }
+        tone_hz = atof(tone_buf);
+        two_tone = 1;
+        build_notch(1101, 5000.0);
     }
 
     int16_t *raw = malloc((size_t)n * 2 * sizeof(int16_t));
     if (tone_out) {
         for (long i = 0; i < n; i++) {
-            double ph = 2.0 * M_PI * tone_hz * i / RATE_IN;
-            raw[2 * i] = (int16_t)lround(0.5 * 32767.0 * cos(ph));
-            raw[2 * i + 1] = (int16_t)lround(0.5 * 32767.0 * sin(ph));
+            double pa = 2.0 * M_PI * tone_hz * i / RATE_IN;
+            double ci = 0.5 * cos(pa), cq = 0.5 * sin(pa);
+            if (two_tone) {
+                double pb = 2.0 * M_PI * tone_hz_b * i / RATE_IN;
+                ci = 0.25 * cos(pa) + 0.25 * cos(pb);
+                cq = 0.25 * sin(pa) + 0.25 * sin(pb);
+            }
+            raw[2 * i] = (int16_t)lround(32767.0 * ci);
+            raw[2 * i + 1] = (int16_t)lround(32767.0 * cq);
         }
         run_for = 0.0;                       /* single pass */
     } else {
@@ -209,8 +249,8 @@ int main(int argc, char **argv) {
 
     float *xi = calloc(n + K_TAPS, sizeof(float));
     float *xq = calloc(n + K_TAPS, sizeof(float));
-    float *yi = calloc(m_out + FIR_TAPS, sizeof(float));
-    float *yq = calloc(m_out + FIR_TAPS, sizeof(float));
+    float *yi = calloc(m_out + g_ntaps, sizeof(float));
+    float *yq = calloc(m_out + g_ntaps, sizeof(float));
     int16_t *out = malloc((size_t)m_out * 2 * sizeof(int16_t));
     pthread_t th[64];
     span_t sp[64];
@@ -250,7 +290,7 @@ int main(int argc, char **argv) {
         }
         /* polyphase resample, data-parallel over output spans */
         for (int t = 0; t < nthreads; t++) {
-            sp[t] = (span_t){xi, xq, yi + FIR_TAPS - 1, yq + FIR_TAPS - 1,
+            sp[t] = (span_t){xi, xq, yi + g_ntaps - 1, yq + g_ntaps - 1,
                              m_out * t / nthreads, m_out * (t + 1) / nthreads};
             pthread_create(&th[t], NULL, resample_span, &sp[t]);
         }

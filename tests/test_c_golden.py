@@ -135,3 +135,62 @@ def test_chain_matches_c_binary(c_binary, tmp_path):
         / (float(np.mean(np.abs(resid) ** 2)) + 1e-30))
     assert abs(abs(g) - 1.0) < 0.01, g        # unity gain between chains
     assert rej_db > 40.0, rej_db              # same transfer function
+
+
+def test_notch_chain_matches_c_binary(c_binary, tmp_path):
+    """DFT-engine golden partner: two-tone input through
+    cs16 -> DC -> shift -100 kHz -> resample -> |f|<=5 kHz notch -> cs16.
+    Tone A (102 kHz) lands at 2 kHz inside the notch; tone B (300 kHz)
+    lands at 200 kHz and passes.  Both implementations must suppress A
+    by >= 55 dB relative to B, and B must come through at unity gain.
+    The C side uses an independent 1101-tap spectral-inversion design;
+    the tpu side's 2175-tap stop-range runs on the DFT overlap-save
+    engine (num_taps > 2048) — the same engine the fused Pallas kernel
+    accelerates on hardware."""
+    tone_a, tone_b = 102_000.0, 300_000.0
+    c_out_path = str(tmp_path / "c_notch.raw")
+    r = subprocess.run(
+        [c_binary, str(N_IN), "1", "0",
+         f"notch:{tone_a:.0f}:{tone_b:.0f}:{c_out_path}"],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[:300]
+    c_y = _to_c64(np.fromfile(c_out_path, np.int16))
+
+    cfg = ChainConfig(
+        input_format="cs16", output_format="cs16",
+        input_rate=RATE_IN, target_rate=RATE_OUT,
+        dc_block=True, freq_shift_pre_hz=SHIFT_HZ,
+        filters=(FilterRequest("stop-range", 0.0, 10_000.0),))  # center 0, width 10 kHz
+    ch = Chain(cfg)
+    assert not ch.post_filter._exec_banded      # DFT engine under test
+    i = np.arange(N_IN, dtype=np.float64)
+    ci = 0.25 * np.cos(2 * np.pi * tone_a * i / RATE_IN) \
+        + 0.25 * np.cos(2 * np.pi * tone_b * i / RATE_IN)
+    cq = 0.25 * np.sin(2 * np.pi * tone_a * i / RATE_IN) \
+        + 0.25 * np.sin(2 * np.pi * tone_b * i / RATE_IN)
+    raw = np.empty(2 * N_IN, np.int16)
+    raw[0::2] = np.rint(32767.0 * ci).astype(np.int16)
+    raw[1::2] = np.rint(32767.0 * cq).astype(np.int16)
+    raw = raw.reshape(8, -1)
+    carry = ch.init_carry()
+    outs = []
+    for b in range(8):
+        carry, out = ch.step(carry, raw[b][None, :], np.False_)
+        outs.append(np.asarray(out)[0])
+    t_y = _to_c64(np.concatenate(outs))
+
+    def band_powers(y):
+        z = y[8000:-2000]
+        w = np.hanning(len(z))
+        spec = np.abs(np.fft.fftshift(np.fft.fft(z * w))) ** 2
+        f = np.fft.fftshift(np.fft.fftfreq(len(z), 1.0 / RATE_OUT))
+        pa = spec[np.abs(f - 2_000.0) < 1_500].sum()
+        pb = spec[np.abs(f - 200_000.0) < 2_000].sum()
+        amp_b = np.sqrt(pb / (len(z) * np.sum(w ** 2)))
+        return pa, pb, amp_b
+
+    for name, y in (("C", c_y), ("tpu", t_y)):
+        pa, pb, amp_b = band_powers(y)
+        supp = 10.0 * np.log10(pb / max(pa, 1e-30))
+        assert supp > 55.0, (name, supp)              # notch depth
+        assert abs(20 * np.log10(amp_b / 0.25)) < 0.5, (name, amp_b)
