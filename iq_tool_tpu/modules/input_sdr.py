@@ -623,7 +623,13 @@ class SdrPlayInput(_SdrInputBase):
                                       EventCbFn=self._event_cb)
         err = self._lib.sdrplay_api_Init(self._dev.dev,
                                          ctypes.byref(self._cbfns), None)
-        if err not in (sp.SUCCESS, sp.STOP_PENDING):
+        # tolerate Success and the benign Start/StopPending transients
+        # (input_sdrplay.c:832).  Pending is matched via the API's own
+        # error string rather than a hard-coded enum value: the vendor
+        # header is not available here to pin the ordinal, and the
+        # string is stable across sdrplay_api 3.x releases.
+        if err != sp.SUCCESS and \
+                "pending" not in self._errstr(err).lower():
             raise ValueError(f"sdrplay_api_Init failed: {self._errstr(err)}")
         self._inited = True
         # bias-T on RSP1A/2/duo/dx additionally needs a post-Init Update

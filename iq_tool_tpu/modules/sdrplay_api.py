@@ -17,7 +17,9 @@ import ctypes as ct
 # ---- enums (ints on the wire) ----------------------------------------------
 
 SUCCESS = 0
-STOP_PENDING = 15                     # sdrplay_api_StopPending (ErrT 0..17)
+# NB: the benign Start/StopPending Init statuses are recognized by the
+# API's error STRING (see input_sdr.SdrPlayInput), not a hard-coded
+# ordinal — the vendor header is unavailable here to pin the value.
 
 # hwVer ids (sdrplay_api.h SDRPLAY_RSP*_ID)
 RSP1, RSP2, RSPduo, RSPdx = 1, 2, 3, 4

@@ -64,10 +64,12 @@ def test_lna_inversion():
 class FakeSdrplayLib:
     """Emulates the sdrplay_api service entry points."""
 
-    def __init__(self, hw_ver=sp.RSPdx):
+    def __init__(self, hw_ver=sp.RSPdx, init_err=0, errstr=b"ok"):
         self.calls = []
         self.update_reasons = []       # (reasonForUpdate, reasonExt1) pairs
         self.hw_ver = hw_ver
+        self.init_err = init_err
+        self.errstr = errstr
         self.dev_params = sp.DevParamsT()
         self.rx_a = sp.RxChannelParams()
         self.params = sp.DeviceParamsT(
@@ -96,9 +98,9 @@ class FakeSdrplayLib:
                 return sp.SUCCESS
             if name == "sdrplay_api_Init":
                 self.cbfns = a[1]._obj
-                return sp.SUCCESS
+                return self.init_err
             if name == "sdrplay_api_GetErrorString":
-                return b"ok"
+                return self.errstr
             return sp.SUCCESS
         return fn
 
@@ -324,3 +326,24 @@ def test_realtime_reset_counter_never_lost(monkeypatch):
     b3 = next(it)
     assert b3.discontinuity
     mod.close()
+
+
+def test_init_pending_status_tolerated(monkeypatch):
+    """Init returning a Start/StopPending transient (matched via the
+    API's error string, not a hard-coded ordinal) must not abort the
+    stream; a genuine failure status must."""
+    fake = FakeSdrplayLib(init_err=15, errstr=b"sdrplay_api_StopPending")
+    _patched(monkeypatch, fake)
+    mod = SdrPlayInput()
+    mod.initialize(None, Args())
+    mod._start_hardware()              # no raise
+    assert "sdrplay_api_Init" in fake.calls
+    mod.close()
+
+    fake2 = FakeSdrplayLib(init_err=1, errstr=b"sdrplay_api_Fail")
+    _patched(monkeypatch, fake2)
+    mod2 = SdrPlayInput()
+    mod2.initialize(None, Args())
+    with pytest.raises(ValueError, match="Init failed"):
+        mod2._start_hardware()
+    mod2.close()
