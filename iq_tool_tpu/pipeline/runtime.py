@@ -362,14 +362,29 @@ class StreamEngine:
         writer = _Writer(self.sinks, ch.fmt_out.items_per_frame, s,
                          self.pipeline_depth)
 
+        # A zero-padded partial block (EOS tail) pollutes the carry with
+        # padding state (filter tails of zeros, NCO phase advanced past
+        # the real samples), so a checkpoint taken after it would make a
+        # later --resume against a longer input diverge.  Stash the
+        # pre-partial cut instead and checkpoint THAT; resume then
+        # replays the tail frames.  Must be fetched to host BEFORE the
+        # step — the step donates the carry buffers.
+        pre_partial = None
+
         def process(chunks: list[bytes], valid_frames: int, reset: bool):
-            nonlocal carry, scheduled_out
+            nonlocal carry, scheduled_out, pre_partial
             rows = []
             for chunk in chunks:
                 if len(chunk) < block_bytes:
                     chunk = chunk + b"\x00" * (block_bytes - len(chunk))
                 rows.append(np.frombuffer(chunk, dtype=ch.in_wire_dtype))
             wire = np.stack(rows, axis=0)
+            if valid_frames < ch.n_in and self.checkpoint_path:
+                pre_partial = (jax.device_get(carry), s.frames_in)
+            else:
+                # a later full block (mid-stream partials come from SDR
+                # pre-gap drains) makes the live carry consistent again
+                pre_partial = None
             dev = jax.device_put(wire)
             carry, out = ch.step(carry, dev, np.bool_(reset))
             s.frames_in += valid_frames
@@ -377,6 +392,13 @@ class StreamEngine:
             emit = max(0, min(allowed - scheduled_out, ch.n_out))
             scheduled_out += emit
             writer.put(out, emit)       # blocks when the pipe is full
+
+        def consistent_cut():
+            if pre_partial is not None:
+                c, fin = pre_partial
+                return c, fin, min(s.frames_out,
+                                   ch.expected_out_frames(fin))
+            return carry, s.frames_in, s.frames_out
 
         def maybe_checkpoint(now: float, last: float) -> float:
             if (self.checkpoint_path
@@ -386,8 +408,7 @@ class StreamEngine:
                 # consistent cut: everything consumed has been written
                 writer.flush()
                 if not writer.dropped:
-                    save_checkpoint(self.checkpoint_path, carry,
-                                    s.frames_in, s.frames_out)
+                    save_checkpoint(self.checkpoint_path, *consistent_cut())
                 return now
             return last
         try:
@@ -424,8 +445,7 @@ class StreamEngine:
         # that would leave a gap on --resume.
         if self.checkpoint_path and not writer.dropped:
             from iq_tool_tpu.pipeline.checkpoint import save_checkpoint
-            save_checkpoint(self.checkpoint_path, carry,
-                            s.frames_in, s.frames_out)
+            save_checkpoint(self.checkpoint_path, *consistent_cut())
         s.duration_sec = time.monotonic() - t0
         return s
 

@@ -156,23 +156,29 @@ def test_stopband_filter_end_to_end(tmp_path):
     assert 10 * np.log10(power + 1e-30) < -50.0   # tone (0.125 power) notched
 
 
-def test_checkpoint_resume_cli(tmp_path):
+@pytest.mark.parametrize("cut_frames", [16384 * 2, 16384 * 2 - 1003])
+def test_checkpoint_resume_cli(tmp_path, cut_frames):
     """Interrupted job resumed via --checkpoint/--resume produces the same
-    bytes as an uninterrupted run."""
+    bytes as an uninterrupted run.  The non-block-aligned cut covers the
+    EOS partial-block case: the final checkpoint must record the cut
+    BEFORE the zero-padded tail block (whose carry saw padding), or the
+    resumed stream diverges."""
     inp = tmp_path / "in.raw"
     n = 16384 * 4
     _write_raw_tone(inp, n, 2_048_000.0, 80_000.0)
     base_args = ["-i", "raw-file", "-o", "raw",
                  "--raw-file-input-rate", "2048000",
                  "--raw-file-input-sample-format", "cs16",
-                 "--output-rate", "1488375"]
+                 "--output-rate", "1488375",
+                 "--dc-block", "--freq-shift", "30e3",
+                 "--lowpass", "400e3"]
 
     full = tmp_path / "full.raw"
     assert main(base_args + [str(inp), str(full)]) == 0
 
-    # simulate an interrupted first run: process only half the input
+    # simulate an interrupted first run: process only part of the input
     half_in = tmp_path / "half.raw"
-    half_in.write_bytes(inp.read_bytes()[: n // 2 * 4])
+    half_in.write_bytes(inp.read_bytes()[: cut_frames * 4])
     part = tmp_path / "part.raw"
     ckpt = tmp_path / "state.ckpt"
     assert main(base_args + [str(half_in), str(part),

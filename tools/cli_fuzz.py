@@ -107,6 +107,32 @@ def one_case(rng: np.random.Generator, idx: int) -> dict:
         out_fmt = get_format(fout)
         got = os.path.getsize(dst) // out_fmt.bytes_per_frame if rc == 0 \
             else -1
+
+        # resume-equivalence: interrupt at ~half the input, checkpoint,
+        # resume against the full input — byte-identical to the
+        # uninterrupted run.  Exercises carry-checkpoint completeness for
+        # whatever stateful stages this combination selected (filter
+        # tails, NCO phase, AGC state, IQ factors, DC state).
+        if rc == 0 and rng.random() < 0.4:
+            half = os.path.join(tmp, "half.raw")
+            cut = (n // 2) * fmt.bytes_per_frame
+            with open(src, "rb") as fh:
+                head = fh.read(cut)
+            with open(half, "wb") as fh:
+                fh.write(head)
+            dst2 = os.path.join(tmp, "out_resumed.raw")
+            ck = os.path.join(tmp, "state.ckpt")
+            swap = lambda a: [dst2 if x == dst else half if x == src else x
+                              for x in a]
+            rc1 = cli.main(swap(args) + ["--checkpoint", ck])
+            args2 = [dst2 if x == dst else x for x in args]
+            rc2 = cli.main(args2 + ["--checkpoint", ck, "--resume"])
+            same = (rc1 == 0 and rc2 == 0
+                    and open(dst, "rb").read() == open(dst2, "rb").read())
+            opts["resume"] = "ok" if same else f"MISMATCH rc={rc1},{rc2}"
+            if not same:
+                return {"idx": idx, "ok": False, "rc": rc,
+                        "got": got, "want": -2, "opts": opts}
         from fractions import Fraction
         fr = Fraction(rate_out, rate_in).limit_denominator(1_000_000)
         want = n * fr.numerator // fr.denominator \
