@@ -44,11 +44,27 @@ def one_case(rng: np.random.Generator, idx: int) -> dict:
     n = int(rng.integers(20_000, 120_000))
     fmt = get_format(fin)
 
+    # 20% raw-garbage bytes (robustness: must not crash, exact frame
+    # accounting still holds); otherwise sane-amplitude noise via the
+    # oracle converter — required for the float-tolerance equivalence
+    # modes below (garbage sc16q11 decodes to 16x over-range, where
+    # everything clips and re-association noise scales with the RMS).
+    sane = rng.random() >= 0.2
     with tempfile.TemporaryDirectory() as tmp:
         src = os.path.join(tmp, "in.raw")
         dst = os.path.join(tmp, "out.raw")
-        payload = rng.integers(0, 256, n * fmt.bytes_per_frame,
-                               dtype=np.uint8)
+
+        def gen_payload():
+            if not sane:
+                return rng.integers(0, 256, n * fmt.bytes_per_frame,
+                                    dtype=np.uint8)
+            from tests import ref_dsp
+            x = (0.35 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+                 / np.sqrt(2)).astype(np.complex64)
+            return np.frombuffer(ref_dsp.from_cf32(x, fin).tobytes(),
+                                 np.uint8)
+
+        payload = gen_payload()
         payload.tofile(src)
 
         args = [src, dst, "-i", "raw-file", "-o", "raw",
@@ -108,12 +124,47 @@ def one_case(rng: np.random.Generator, idx: int) -> dict:
         got = os.path.getsize(dst) // out_fmt.bytes_per_frame if rc == 0 \
             else -1
 
+        mode = rng.random()
+
+        # multichannel-equivalence: the same config as a --channels 2
+        # batch must match two independent single runs within 1 output
+        # code (batching changes the matmul M dimension, which
+        # re-associates XLA float reductions — test_multichannel.py).
+        if rc == 0 and sane and 0.4 <= mode < 0.7 and fout in ("cu8", "cs16"):
+            src_b = os.path.join(tmp, "in_b.raw")
+            gen_payload().tofile(src_b)
+            dst_b = os.path.join(tmp, "out_b.raw")
+            rc_b = cli.main([src_b if x == src else dst_b if x == dst
+                             else x for x in args])
+            m0, m1 = os.path.join(tmp, "m0.raw"), os.path.join(tmp, "m1.raw")
+            rc_m = cli.main([f"{src},{src_b}" if x == src
+                             else f"{m0},{m1}" if x == dst else x
+                             for x in args] + ["--channels", "2"])
+            ok_mc = rc_b == 0 and rc_m == 0
+            if ok_mc:
+                wdt = np.int16 if fout == "cs16" else np.uint8
+                stats = []
+                for mpath, rpath in ((m0, dst), (m1, dst_b)):
+                    a = np.fromfile(mpath, wdt).astype(np.int32)
+                    b = np.fromfile(rpath, wdt).astype(np.int32)
+                    d = np.abs(a - b) if a.shape == b.shape else None
+                    if d is None or d.max() > 1 or (d != 0).mean() > 5e-3:
+                        ok_mc = False
+                    stats.append("shape" if d is None else
+                                 f"max={int(d.max())} "
+                                 f"frac={float((d != 0).mean()):.2}")
+                opts["mc_stats"] = stats
+            opts["multichannel"] = "ok" if ok_mc else "MISMATCH"
+            if not ok_mc:
+                return {"idx": idx, "ok": False, "rc": rc, "got": got,
+                        "want": -3, "opts": opts}
+
         # resume-equivalence: interrupt at ~half the input, checkpoint,
         # resume against the full input — byte-identical to the
         # uninterrupted run.  Exercises carry-checkpoint completeness for
         # whatever stateful stages this combination selected (filter
         # tails, NCO phase, AGC state, IQ factors, DC state).
-        if rc == 0 and rng.random() < 0.4:
+        if rc == 0 and mode < 0.4:
             half = os.path.join(tmp, "half.raw")
             cut = (n // 2) * fmt.bytes_per_frame
             with open(src, "rb") as fh:
