@@ -159,6 +159,30 @@ def one_case(rng: np.random.Generator, idx: int) -> dict:
                 return {"idx": idx, "ok": False, "rc": rc, "got": got,
                         "want": -3, "opts": opts}
 
+        # WAV round-trip: same chain written as RF64, read back through
+        # the WAV input module with --raw-passthrough — payload bytes
+        # must equal the raw-output run exactly (writer + reader + header
+        # framing across configs).
+        if rc == 0 and 0.7 <= mode < 0.85 and fout in ("cs16", "cu8"):
+            wav_out = os.path.join(tmp, "out.wav")
+            wargs = list(args)
+            wargs[wargs.index(dst)] = wav_out
+            wargs[wargs.index("-o") + 1] = "wav"
+            ok_wav = cli.main(wargs) == 0
+            if ok_wav:
+                rt = os.path.join(tmp, "roundtrip.raw")
+                rc_r = cli.main([wav_out, rt, "-i", "wav", "-o", "raw",
+                                 "--raw-passthrough",
+                                 "--output-sample-format", fout,
+                                 "--force-overwrite", "--log-level",
+                                 "error"])
+                ok_wav = (rc_r == 0 and
+                          open(rt, "rb").read() == open(dst, "rb").read())
+            opts["wav_roundtrip"] = "ok" if ok_wav else "MISMATCH"
+            if not ok_wav:
+                return {"idx": idx, "ok": False, "rc": rc, "got": got,
+                        "want": -4, "opts": opts}
+
         # resume-equivalence: interrupt at ~half the input, checkpoint,
         # resume against the full input — byte-identical to the
         # uninterrupted run.  Exercises carry-checkpoint completeness for
