@@ -225,3 +225,29 @@ def test_sharded_dc_matches_exact_recurrence(rng):
         want[i] = x[i] - xp + a * yp
         xp, yp = x[i], want[i]
     np.testing.assert_allclose(y, want, atol=3e-4)
+
+
+def test_time_sharded_dft_engine_filter(rng):
+    """A > 2048-tap stop-range rides the DFT overlap-save engine (the
+    path the fused Pallas kernel accelerates on hardware); its (C, block)
+    overlap-save carry must flow across time shards like any other
+    stateful stage.  1-code tolerance: shard-local FFT windows
+    re-associate float reductions."""
+    from iq_tool_tpu.parallel.sharded import ShardedChain, make_mesh
+    cfg = ChainConfig(
+        input_format="cs16", output_format="cs16",
+        input_rate=2_048_000.0, target_rate=1_488_375.0,
+        dc_block=True, freq_shift_pre_hz=100_000.0,
+        filters=[FilterRequest("stop-range", 0.0, 10_000.0)],
+        target_block=1 << 16)
+    mesh = make_mesh(jax.devices()[:4], 1, 4)       # 4-way time sharding
+    sc = ShardedChain(cfg, mesh)
+    plain = Chain(ChainConfig(**{**cfg.__dict__,
+                                 "target_block": sc.local.cfg.target_block}))
+    assert not plain.post_filter._exec_banded        # DFT engine engaged
+    raws = _make_raws(2, sc.n_in, rng)
+    a = _run_blocks(sc.step, sc.init_carry(), raws).astype(np.int32)
+    b = _run_blocks(plain.step, plain.init_carry(1), raws).astype(np.int32)
+    d = np.abs(a - b)
+    assert d.max() <= 1, d.max()
+    assert (d != 0).mean() < 0.02
