@@ -243,7 +243,22 @@ def build_chain(cfg: AppConfig, block_size: int, channels: int = 1,
         import jax
 
         from iq_tool_tpu.parallel.sharded import ShardedChain, make_mesh
-        mesh = make_mesh(jax.devices(), mesh_channel, mesh_time)
+        n_dev = len(jax.devices())
+        # an unspecified axis defaults to what the stream supports (the
+        # channel axis must divide --channels), over a device SUBSET —
+        # "--mesh-time 2" on one channel means 1x2, not (n/2)x2
+        mc = mesh_channel
+        mt = mesh_time
+        if mc is None:
+            cap = n_dev // (mt or 1)
+            mc = max(d for d in range(1, min(channels, cap) + 1)
+                     if channels % d == 0)
+        if mt is None:
+            mt = n_dev // mc
+        if mc * mt > n_dev:
+            raise ValueError(
+                f"mesh {mc}x{mt} needs {mc * mt} devices, have {n_dev}")
+        mesh = make_mesh(jax.devices()[: mc * mt], mc, mt)
 
         def make(ccfg):
             return ShardedChain(ccfg, mesh)

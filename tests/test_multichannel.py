@@ -147,3 +147,31 @@ def test_channels_rejects_wrong_path_count(tmp_path, capsys):
                "--channels", "3"] + BASE)
     assert rc == 1
     assert "comma-separated" in capsys.readouterr().err
+
+
+def test_mesh_time_defaults_to_channel_fit(tmp_path):
+    """--mesh-time 2 on ONE channel must build a 1x2 mesh over a device
+    subset (not all-devices/2 x 2, which 1 channel cannot fill), and a
+    checkpointed sharded run must resume byte-identically, including a
+    non-block-aligned EOS cut."""
+    n = 16384 * 6 - 3000
+    inp = tmp_path / "in.raw"
+    _write_noise(inp, n, seed=7)
+    base = ["-i", "raw-file", "-o", "raw",
+            "--raw-file-input-rate", "2048000",
+            "--raw-file-input-sample-format", "cs16",
+            "--output-rate", "1488375", "--dc-block",
+            "--freq-shift", "50e3", "--lowpass", "400e3",
+            "--mesh-time", "2", "--force-overwrite"]
+    full = tmp_path / "full.raw"
+    assert main([str(inp), str(full)] + base) == 0
+
+    half = tmp_path / "half.raw"
+    half.write_bytes(inp.read_bytes()[: (n // 2) * 4])
+    part = tmp_path / "part.raw"
+    ck = tmp_path / "state.ckpt"
+    assert main([str(half), str(part)] + base
+                + ["--checkpoint", str(ck)]) == 0
+    assert main([str(inp), str(part)] + base
+                + ["--checkpoint", str(ck), "--resume"]) == 0
+    assert part.read_bytes() == full.read_bytes()
