@@ -150,12 +150,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "or N comma-separated paths; channels run in "
                         "lockstep and end at the shortest stream")
     g.add_argument("--mesh-channel", type=int, metavar="N",
-                   help="Shard the channel axis over N devices "
-                        "(default: all devices on the time axis when "
-                        "--mesh-time is given, else single-device)")
+                   help="Shard the channel axis over N devices (default: "
+                        "the largest divisor of --channels that fits the "
+                        "device budget left by --mesh-time)")
     g.add_argument("--mesh-time", type=int, metavar="N",
                    help="Shard each block over N devices along time "
-                        "(halo-exchange sequence parallelism)")
+                        "(halo-exchange sequence parallelism; default: "
+                        "remaining devices / --mesh-channel)")
     g.add_argument("--profile-dir", metavar="DIR",
                    help="Capture a jax.profiler trace of the run into DIR "
                         "(view with tensorboard/xprof)")
@@ -249,15 +250,16 @@ def build_chain(cfg: AppConfig, block_size: int, channels: int = 1,
         # "--mesh-time 2" on one channel means 1x2, not (n/2)x2
         mc = mesh_channel
         mt = mesh_time
+        if (mc or 1) * (mt or 1) > n_dev or (mc or 1) < 1 or (mt or 1) < 1:
+            raise ValueError(
+                f"mesh {mc or 1}x{mt or 1} needs {(mc or 1) * (mt or 1)} "
+                f"devices, have {n_dev}")
         if mc is None:
-            cap = n_dev // (mt or 1)
-            mc = max(d for d in range(1, min(channels, cap) + 1)
+            cap = n_dev // mt
+            mc = max(d for d in range(1, max(min(channels, cap), 1) + 1)
                      if channels % d == 0)
         if mt is None:
             mt = n_dev // mc
-        if mc * mt > n_dev:
-            raise ValueError(
-                f"mesh {mc}x{mt} needs {mc * mt} devices, have {n_dev}")
         mesh = make_mesh(jax.devices()[: mc * mt], mc, mt)
 
         def make(ccfg):

@@ -380,7 +380,12 @@ class StreamEngine:
                 rows.append(np.frombuffer(chunk, dtype=ch.in_wire_dtype))
             wire = np.stack(rows, axis=0)
             if valid_frames < ch.n_in and self.checkpoint_path:
-                pre_partial = (jax.device_get(carry), s.frames_in)
+                # keep the OLDEST clean cut: on consecutive partials
+                # (pre-gap drain then EOS tail) the live carry is
+                # already padding-polluted, so overwriting would record
+                # a dirty state
+                if pre_partial is None:
+                    pre_partial = (jax.device_get(carry), s.frames_in)
             else:
                 # a later full block (mid-stream partials come from SDR
                 # pre-gap drains) makes the live carry consistent again
