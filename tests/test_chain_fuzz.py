@@ -77,6 +77,10 @@ CASES = [
     # deep decimation (multi-stage cascade)
     (dict(input_format="cs16", target_rate=128_000.0,
           filters=(FilterRequest("lowpass", 50e3),)), 20e3),
+    # narrow post-stage notch: 2175 taps > 2048 -> the DFT overlap-save
+    # engine (the path the fused Pallas kernel runs on hardware)
+    (dict(input_format="cs16", target_rate=1_488_375.0, dc_block=True,
+          filters=(FilterRequest("stop-range", 0.0, 10e3),)), 250e3),
 ]
 
 
