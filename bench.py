@@ -169,6 +169,31 @@ def main():
                        "chain": "cs16 dc+shift+resample(11907/16384)+lowpass"},
                       f, indent=1)
 
+    # The axon tunnel can be down for hours; backend init then hangs
+    # ~25 min and dies UNAVAILABLE.  Probe in a subprocess so a dead
+    # backend yields one clean JSON error line instead of an unbounded
+    # hang; a probe TIMEOUT (slow-but-alive tunnel) falls through to the
+    # real measurement.
+    import subprocess
+    import sys
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float(jnp.sum(jnp.arange(8.0))))"],
+            capture_output=True, text=True, timeout=2100)
+        if probe.returncode != 0 and "UNAVAILABLE" in (probe.stderr or ""):
+            print(json.dumps({
+                "metric": "complex Msamples/s/chip "
+                          "(resample+filter chain, input rate)",
+                "value": 0.0, "unit": "Msamples/s", "vs_baseline": 0.0,
+                "error": "tpu backend unavailable (tunnel down); "
+                         "last measured value in docs/PERF.md",
+            }))
+            return
+    except subprocess.TimeoutExpired:
+        pass
+
     value = measure_tpu()
     print(json.dumps({
         "metric": "complex Msamples/s/chip (resample+filter chain, input rate)",
