@@ -416,6 +416,26 @@ def _dc_kernel(xr_ref, xi_ref, st_ref, m_ref, d_ref, *rest,
     outi_ref[...] = yi
 
 
+def dc_geometry(ch: int, n: int):
+    """Static geometry gate for dc_block_apply: (cb, cell) or None.
+
+    Exposed so callers (the sharded fused-pre path) can decide the
+    fallback BEFORE tracing anything shard-dependent — a
+    traced-but-unused axis_index is enough to make the axon backend
+    reject the whole compiled program."""
+    t = 128
+    if n % t:
+        return None
+    cb = 8 if ch % 8 == 0 else ch
+    # cell: lane-aligned divisor of n, sized to the VMEM budget and capped
+    # so the (static) subtile unroll stays small
+    max_cell = min(max(t, _VMEM_BUDGET // (6 * 4 * cb)), 32 * t)
+    for d in range(max_cell, t - 1, -1):
+        if n % d == 0 and d % t == 0:
+            return cb, d
+    return None
+
+
 def dc_block_apply(xr: jnp.ndarray, xi: jnp.ndarray, state: jnp.ndarray,
                    alpha: float, iq_factors=None, phase_acc=None,
                    dtheta: int = 0, interpret: bool = False):
@@ -429,19 +449,10 @@ def dc_block_apply(xr: jnp.ndarray, xi: jnp.ndarray, state: jnp.ndarray,
     ch, n = xr.shape
     a = float(1.0 - alpha)
     t = 128
-    if n % t:
+    geo = dc_geometry(ch, n)
+    if geo is None:
         return None
-    cb = 8 if ch % 8 == 0 else ch
-    # cell: lane-aligned divisor of n, sized to the VMEM budget and capped
-    # so the (static) subtile unroll stays small
-    max_cell = min(max(t, _VMEM_BUDGET // (6 * 4 * cb)), 32 * t)
-    cell = 0
-    for d in range(max_cell, t - 1, -1):
-        if n % d == 0 and d % t == 0:
-            cell = d
-            break
-    if not cell:
-        return None
+    cb, cell = geo
 
     i_idx = np.arange(t)
     e = i_idx[:, None] - i_idx[None, :]

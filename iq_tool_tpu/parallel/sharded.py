@@ -255,7 +255,7 @@ class ShardedChain:
         return yr, yi, new_state
 
     def _fused_pre_sharded(self, xr, xi, x_prev_use, carry: dict, new: dict,
-                           t_idx):
+                           t_idx_fn):
         """DC + IQ-apply + pre-NCO as the single fused Pallas kernel, on
         the sharded path.  The DC start value for shard i depends on the
         other shards' data THIS step, so the kernel runs the exact
@@ -269,6 +269,12 @@ class ShardedChain:
         cfg = lc.cfg
         if not (banded._on_tpu() or _FUSED_INTERPRET):
             return None
+        if pallas_kernels.dc_geometry(xr.shape[0], xr.shape[-1]) is None:
+            return None
+        # gates passed — NOW it is safe to materialize the axis index
+        # (a traced-but-unused axis_index in the fallback path is the
+        # exact jaxpr delta the axon backend rejects UNIMPLEMENTED)
+        t_idx = t_idx_fn()
         n = xr.shape[-1]
         a_real = 1.0 - lc.dc_alpha
         apow = np.power(a_real, np.arange(1, n + 1),
@@ -388,7 +394,7 @@ class ShardedChain:
         if cfg.dc_block:
             use, new["dc_x"] = self._halo(tail2(xr, xi, 1), carry["dc_x"])
             fused = self._fused_pre_sharded(xr, xi, use, carry, new,
-                                                t_idx())
+                                                t_idx)
             if fused is not None:
                 xr, xi = fused
             else:

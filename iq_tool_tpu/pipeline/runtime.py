@@ -412,7 +412,11 @@ class StreamEngine:
                 # flush first so (carry, frames_in, frames_out) is a
                 # consistent cut: everything consumed has been written
                 writer.flush()
-                if not writer.dropped:
+                # also require writer.error is None: a failed sink write
+                # sets error without dropped, yet the failed block's
+                # output never landed — saving would leave frames_in
+                # ahead of the bytes on disk and misalign --resume
+                if not writer.dropped and writer.error is None:
                     save_checkpoint(self.checkpoint_path, *consistent_cut())
                 return now
             return last

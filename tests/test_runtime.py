@@ -138,3 +138,40 @@ def test_discontinuity_drains_pregap_remainder(rng):
     a = _run(payload[:half], [half])
     b = _run(payload[half:], [len(payload) - half])
     assert bytes(sink.data) == a + b
+
+
+def test_no_checkpoint_after_sink_write_failure(tmp_path, rng):
+    """A sink write that FAILS (not OutputClosed) must not be followed by
+    a periodic checkpoint: the carry has consumed input whose output
+    never landed, so saving would leave frames_in ahead of the bytes on
+    disk and misalign --resume (advisor round-2 medium finding)."""
+    import pytest
+
+    import time
+
+    class FailingSink(FakeSink):
+        def write(self, payload: bytes) -> None:
+            if len(self.data) >= 2 * len(payload):   # fail on the 3rd block
+                # slow failure: the main loop's writer.error check passes
+                # first, so the error lands DURING maybe_checkpoint's
+                # flush — the advisor's exact race
+                time.sleep(0.2)
+                raise IOError("disk full")
+            super().write(payload)
+
+    chain = _chain()
+    payload = rng.integers(-2**15, 2**15,
+                           2 * chain.n_in * 6).astype(np.int16).tobytes()
+    sink = FailingSink()
+    ckpt = str(tmp_path / "state.ckpt")
+    eng = StreamEngine(chain, FakeSource(payload, [len(payload)]), sink,
+                       checkpoint_path=ckpt, checkpoint_interval_sec=0.0,
+                       pipeline_depth=1)
+    with pytest.raises(IOError, match="disk full"):
+        eng.run()
+
+    from iq_tool_tpu.pipeline.checkpoint import load_checkpoint
+    _, fin, fout, _ = load_checkpoint(ckpt, chain.init_carry())
+    # consistent cut: everything consumed was written — never ahead
+    assert fout == chain.expected_out_frames(fin)
+    assert fout * 4 == len(sink.data)
