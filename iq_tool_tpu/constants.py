@@ -12,6 +12,10 @@ artifacts.
 # in-flight blocks instead of a 512-deep pool.
 DEFAULT_BLOCK_SIZE = 16384          # complex frames per device block (target)
 MAX_BLOCK_SIZE = 1 << 20            # hard cap (constants.h:252 analog)
+# When a filter runs on the fused overlap-save DFT kernel, the chain
+# grows its block until >= 4 full 3/4-advance windows fit per step (the
+# 33%-fewer-windows win needs amortizing), but never past this cap.
+OSFFT_FRAME_CAP = 1 << 18
 HOST_QUEUE_DEPTH = 8                # in-flight host->device blocks
 WRITER_QUEUE_DEPTH = 16             # in-flight device->host output blocks
 

@@ -166,6 +166,15 @@ class StreamingFilter:
         y, ns = self(x, st)
         return jnp.real(y), jnp.imag(y), jnp.real(ns), jnp.imag(ns)
 
+    @property
+    def osfft_advance(self) -> int:
+        """Window stride of the fused overlap-save kernel: 3b/2
+        (25% overlap, 33% fewer windows) when the taps fit in a quarter
+        window — guaranteed by choose_fft_block's doubling rule for
+        auto-sized filters — else the classic b."""
+        b = self.block
+        return 3 * b // 2 if (self.num_taps - 1) * 2 <= b else b
+
     def _osfft_planar(self, xr, xi, state_r, state_i):
         from iq_tool_tpu.ops import banded, pallas_kernels
         if not banded._on_tpu() and not _OSFFT_INTERPRET:
@@ -174,34 +183,40 @@ class StreamingFilter:
         n = xr.shape[-1]
         if n < b:
             return None
-        # 3/4-window advance (25% overlap) when the taps fit in a
-        # quarter window; else the classic half-window advance.  Both
-        # are exact; 3b/2 runs 33% fewer DFT windows per output sample.
-        adv = 3 * b // 2 if (self.num_taps - 1) * 2 <= b else b
         h_key = getattr(self, "_h_key", None)
         if h_key is None:
             h_key = self._h_key = tuple(self._h.tolist())
         ext_r = jnp.concatenate([state_r, xr], axis=-1)
         ext_i = jnp.concatenate([state_i, xi], axis=-1)
-        n_full = (n // adv) * adv
-        res = pallas_kernels.osfft_apply(
-            ext_r[:, : n_full + b], ext_i[:, : n_full + b], h_key, b,
-            advance=adv, interpret=_OSFFT_INTERPRET)
-        if res is None and adv != b:
-            n_full = (n // b) * b
-            adv = b
+        # Mixed advance schedule: as many 3/4-advance windows as fit,
+        # then half-advance windows on what remains (at most one, since
+        # the remainder is < 3b/2), then the ragged XLA tail.  This keeps
+        # the kernel covering the maximum of ANY framing — including the
+        # CLI default where n_out < 3b/2 used to fall back entirely to
+        # half-advance (filter.c:491-526 overlap-save contract; the
+        # reference sizes FFT blocks freely, filter.c:317-336).
+        parts = [], []
+        s = 0
+        advances = [3 * b // 2] if (self.num_taps - 1) * 2 <= b else []
+        advances.append(b)
+        for adv in advances:
+            n_seg = ((n - s) // adv) * adv
+            if n_seg <= 0:
+                continue
             res = pallas_kernels.osfft_apply(
-                ext_r[:, : n_full + b], ext_i[:, : n_full + b], h_key, b,
-                advance=b, interpret=_OSFFT_INTERPRET)
-        if res is None:
-            return None
-        yr, yi = res
-        # ragged tail (< advance samples): re-anchored XLA windows, at
-        # most two since advance <= 2b.  Window for outputs [s, s+b) is
-        # ext[s : s + 2b]; the final one is re-anchored at n - b and its
-        # duplicated head outputs are discarded.
-        parts = [yr], [yi]
-        s = n_full
+                ext_r[:, s: s + n_seg + b], ext_i[:, s: s + n_seg + b],
+                h_key, b, advance=adv, interpret=_OSFFT_INTERPRET)
+            if res is None:
+                continue          # Mosaic declined; try the next stride
+            parts[0].append(res[0])
+            parts[1].append(res[1])
+            s += n_seg
+        if s == 0:
+            return None           # kernel never engaged: full XLA path
+        # ragged tail (< b samples): re-anchored XLA windows.  Window for
+        # outputs [s, s+b) is ext[s : s + 2b]; the final one is
+        # re-anchored at n - b and its duplicated head outputs are
+        # discarded.
         while s < n:
             st = min(s, n - b)
             win = jax.lax.complex(ext_r[:, st:st + 2 * b],
@@ -213,9 +228,10 @@ class StreamingFilter:
             parts[0].append(jnp.real(out))
             parts[1].append(jnp.imag(out))
             s += take
-        if len(parts[0]) > 1:
-            yr = jnp.concatenate(parts[0], axis=-1)
-            yi = jnp.concatenate(parts[1], axis=-1)
+        yr = (jnp.concatenate(parts[0], axis=-1) if len(parts[0]) > 1
+              else parts[0][0])
+        yi = (jnp.concatenate(parts[1], axis=-1) if len(parts[1]) > 1
+              else parts[1][0])
         return (yr, yi, banded.new_tail(state_r, xr, b),
                 banded.new_tail(state_i, xi, b))
 

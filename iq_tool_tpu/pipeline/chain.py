@@ -125,22 +125,33 @@ class Chain:
 
         # --- block geometry: resampler framing + filter block constraints ---
         tb = cfg.target_block
-        for _ in range(8):
+        for _ in range(10):
             rs = (Resampler(cfg.target_rate / cfg.input_rate, tb,
                             cfg.filter_attenuation_db, cfg.resampler_semilength)
                   if cfg.resampling else None)
             n_in = rs.plan.n_in if rs else tb
             n_out = rs.plan.n_out if rs else tb
-            need = []
-            if self.pre_filter and self.pre_filter.method == "fft":
-                need.append(n_in >= self.pre_filter.block)
-            if self.post_filter and self.post_filter.method == "fft":
-                need.append(n_out >= self.post_filter.block)
-            if all(need):
+            hard, soft = [], []
+            for filt, n in ((self.pre_filter, n_in),
+                            (self.post_filter, n_out)):
+                if filt is not None and filt.method == "fft":
+                    hard.append(n >= filt.block)
+                    adv = filt.osfft_advance
+                    if not filt._exec_banded and adv > filt.block:
+                        # amortize the fused overlap-save kernel: grow
+                        # until >= 4 full 3/4-advance windows fit per
+                        # step, so its 33%-fewer-windows win engages at
+                        # CLI framing too (the reference sizes FFT
+                        # blocks freely, filter.c:317-336) — but only up
+                        # to OSFFT_FRAME_CAP, never as a hard failure
+                        soft.append(n >= 4 * adv)
+            if all(hard) and (all(soft) or tb >= C.OSFFT_FRAME_CAP):
                 break
             tb *= 2
         else:
-            raise ValueError("could not find a block size fitting the filter")
+            if not all(hard):
+                raise ValueError(
+                    "could not find a block size fitting the filter")
         self.resampler = rs
         self.n_in = n_in
         self.n_out = n_out
