@@ -186,6 +186,157 @@ static double now_sec(void) {
     return ts.tv_sec + 1e-9 * ts.tv_nsec;
 }
 
+/* ---- standalone AGC golden mode (cross-implementation oracle) -----------
+ *
+ * "agc:<profile>:<gainfile>:<outfile>" feeds a deterministic AM tone at
+ * the OUTPUT rate through the reference AGC contract (SURVEY.md 2b /
+ * agc.c:38-68, 117-221) implemented the reference's way — a per-SAMPLE
+ * one-pole RMS loop for dx/local (the TPU side aggregates it at
+ * AGC_SEGMENT granularity, ops/agc.py) and the per-block peak-lock
+ * state machine for digital — then writes a float32 per-sample gain
+ * trace plus the cs16 output so tests/test_c_golden.py can bound the
+ * segment-aggregation error against this independent implementation. */
+
+#define AGC_RMS_TARGET 0.5
+#define AGC_BW_DX 1e-4
+#define AGC_BW_LOCAL 1e-2
+#define AGC_DIG_TARGET 0.9
+#define AGC_DIG_SCAN_SEC 2.0
+#define AGC_DIG_HANG_SEC 4.0
+#define AGC_DIG_RATCHET 0.99
+#define AGC_DIG_CREEP 1.0005
+#define AGC_DIG_CREEP_THRESH 0.75
+#define AGC_BLOCK 16384          /* digital state machine granularity */
+
+static int run_agc_golden(long n, const char *spec) {
+    char buf[512];
+    strncpy(buf, spec, sizeof(buf) - 1);
+    buf[sizeof(buf) - 1] = 0;
+    char *c1 = strchr(buf, ':');
+    if (!c1) return 1;
+    *c1 = 0;
+    char *c2 = strchr(c1 + 1, ':');
+    if (!c2) return 1;
+    *c2 = 0;
+    const char *profile = buf, *gain_path = c1 + 1, *out_path = c2 + 1;
+
+    /* deterministic AM tone, reproducible bit-for-bit from Python:
+     * env = 0.6*(1 + 0.5 sin(2pi*1000 i/Fs)) x a step profile (x1 to 4 s,
+     * x1.8 to 5 s — forces a clip ratchet after digital lock — then x0.2 —
+     * weak, so creep engages after the 4 s hang), carrier 200 kHz,
+     * cs16-quantized then renormalized so both sides see identical floats */
+    float *xi = malloc((size_t)n * sizeof(float));
+    float *xq = malloc((size_t)n * sizeof(float));
+    long s2 = (long)(4.0 * RATE_OUT), s3 = (long)(5.0 * RATE_OUT);
+    for (long i = 0; i < n; i++) {
+        double scale = i < s2 ? 1.0 : (i < s3 ? 1.8 : 0.2);
+        double env = scale * 0.6
+                     * (1.0 + 0.5 * sin(2.0 * M_PI * 1000.0 * i / RATE_OUT));
+        double ph = 2.0 * M_PI * 200000.0 * i / RATE_OUT;
+        xi[i] = (float)(lround(32767.0 * env * cos(ph)) / 32768.0);
+        xq[i] = (float)(lround(32767.0 * env * sin(ph)) / 32768.0);
+    }
+
+    float *gain = malloc((size_t)n * sizeof(float));
+    int16_t *out = malloc((size_t)n * 2 * sizeof(int16_t));
+
+    if (strcmp(profile, "dx") == 0 || strcmp(profile, "local") == 0) {
+        /* liquid agc_crcf semantics: y = x*g; e2' = (1-bw)e2 + bw|y|^2;
+         * g *= exp(-0.5 bw ln(e2'/t^2))  (agc.c:38-68, bw 1e-4 / 1e-2,
+         * target 0.5, gain init 1.0) */
+        float bw = (float)(strcmp(profile, "dx") == 0 ? AGC_BW_DX
+                                                      : AGC_BW_LOCAL);
+        float g = 1.0f, e2 = 0.0f;
+        float t2 = (float)(AGC_RMS_TARGET * AGC_RMS_TARGET);
+        for (long i = 0; i < n; i++) {
+            float yi_ = xi[i] * g, yq_ = xq[i] * g;
+            e2 = (1.0f - bw) * e2 + bw * (yi_ * yi_ + yq_ * yq_);
+            float e = e2 > 1e-16f ? e2 : 1e-16f;
+            g *= expf(-0.5f * bw * logf(e / t2));
+            if (g < 1e-6f) g = 1e-6f;
+            if (g > 1e6f) g = 1e6f;
+            gain[i] = g;
+            float si = yi_ * 32768.0f, sq = yq_ * 32768.0f;
+            si = si >= 0 ? si + 0.5f : si - 0.5f;
+            sq = sq >= 0 ? sq + 0.5f : sq - 0.5f;
+            if (si > 32767.f) si = 32767.f;
+            if (si < -32768.f) si = -32768.f;
+            if (sq > 32767.f) sq = 32767.f;
+            if (sq < -32768.f) sq = -32768.f;
+            out[2 * i] = (int16_t)si;
+            out[2 * i + 1] = (int16_t)sq;
+        }
+    } else if (strcmp(profile, "digital") == 0) {
+        /* block-granular peak-lock state machine (agc.c:117-221 with
+         * sample-time windows, matching ops/agc.py digital_update) */
+        float g = 1.0f, peak_mem = 0.05f;
+        long samples_seen = 0, weak_run = 0;
+        int locked = 0;
+        long lock_samples = (long)(AGC_DIG_SCAN_SEC * RATE_OUT);
+        long hang_samples = (long)(AGC_DIG_HANG_SEC * RATE_OUT);
+        for (long b0 = 0; b0 < n; b0 += AGC_BLOCK) {
+            long bn = n - b0 < AGC_BLOCK ? n - b0 : AGC_BLOCK;
+            float pk2 = 0.0f;
+            for (long i = b0; i < b0 + bn; i++) {
+                float p = xi[i] * xi[i] + xq[i] * xq[i];
+                if (p > pk2) pk2 = p;
+            }
+            float block_peak = sqrtf(pk2);
+            float gain_out;
+            if (!locked) {
+                if (block_peak > peak_mem) peak_mem = block_peak;
+                float safe = peak_mem > 1e-4f ? peak_mem : 1e-4f;
+                gain_out = (float)AGC_DIG_TARGET / safe;
+                if (samples_seen > lock_samples) {
+                    locked = 1;
+                    g = gain_out;
+                }
+                weak_run = 0;
+            } else {
+                float out_peak = block_peak * g;
+                int clip = out_peak > 1.0f;
+                int strong = out_peak > (float)(AGC_DIG_TARGET
+                                                * AGC_DIG_CREEP_THRESH);
+                int creep = !clip && !strong && weak_run > hang_samples;
+                if (clip)
+                    g = (float)AGC_DIG_RATCHET
+                        / (block_peak > 1e-9f ? block_peak : 1e-9f);
+                else if (creep)
+                    g *= (float)AGC_DIG_CREEP;
+                weak_run = (clip || strong) ? 0 : weak_run + bn;
+                gain_out = g;
+            }
+            samples_seen += bn;
+            for (long i = b0; i < b0 + bn; i++) {
+                gain[i] = gain_out;
+                float si = xi[i] * gain_out * 32768.0f;
+                float sq = xq[i] * gain_out * 32768.0f;
+                si = si >= 0 ? si + 0.5f : si - 0.5f;
+                sq = sq >= 0 ? sq + 0.5f : sq - 0.5f;
+                if (si > 32767.f) si = 32767.f;
+                if (si < -32768.f) si = -32768.f;
+                if (sq > 32767.f) sq = 32767.f;
+                if (sq < -32768.f) sq = -32768.f;
+                out[2 * i] = (int16_t)si;
+                out[2 * i + 1] = (int16_t)sq;
+            }
+        }
+    } else {
+        fprintf(stderr, "unknown agc profile %s\n", profile);
+        return 1;
+    }
+
+    FILE *fg = fopen(gain_path, "wb");
+    fwrite(gain, sizeof(float), (size_t)n, fg);
+    fclose(fg);
+    FILE *fo = fopen(out_path, "wb");
+    fwrite(out, sizeof(int16_t), (size_t)n * 2, fo);
+    fclose(fo);
+    printf("{\"mode\": \"agc\", \"profile\": \"%s\", \"n\": %ld}\n",
+           profile, n);
+    return 0;
+}
+
 int main(int argc, char **argv) {
     long n = argc > 1 ? atol(argv[1]) : 1 << 21;
     int nthreads = argc > 2 ? atoi(argv[2]) : 4;
@@ -202,6 +353,8 @@ int main(int argc, char **argv) {
      * (|f| <= 5 kHz stopped, matching the repo's stop-range center 0
      * width 10 kHz) — the golden partner for the DFT-engine path. */
     const char *tone_spec = argc > 4 ? argv[4] : NULL;
+    if (tone_spec && strncmp(tone_spec, "agc:", 4) == 0)
+        return run_agc_golden(n, tone_spec + 4);
     double tone_hz = 0.0, tone_hz_b = 0.0;
     int two_tone = 0;
     const char *tone_out = NULL;

@@ -194,3 +194,110 @@ def test_notch_chain_matches_c_binary(c_binary, tmp_path):
         supp = 10.0 * np.log10(pb / max(pa, 1e-30))
         assert supp > 55.0, (name, supp)              # notch depth
         assert abs(20 * np.log10(amp_b / 0.25)) < 0.5, (name, amp_b)
+
+
+def _agc_input(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Bit-identical to run_agc_golden's AM-tone generator (iq_baseline.c):
+    cs16-grid quantization with lround (round half away from zero)."""
+    i = np.arange(n, dtype=np.float64)
+    s2, s3 = int(4.0 * RATE_OUT), int(5.0 * RATE_OUT)
+    scale = np.where(i < s2, 1.0, np.where(i < s3, 1.8, 0.2))
+    env = scale * 0.6 * (1.0 + 0.5 * np.sin(2 * np.pi * 1000.0 * i / RATE_OUT))
+    ph = 2 * np.pi * 200_000.0 * i / RATE_OUT
+
+    def q(v):
+        v = 32767.0 * v
+        return (np.trunc(v + np.copysign(0.5, v)) / 32768.0).astype(np.float32)
+
+    return q(env * np.cos(ph)), q(env * np.sin(ph))
+
+
+@pytest.mark.parametrize("profile,tol", [("local", 0.09), ("dx", 0.015)])
+def test_agc_rms_gain_trajectory_vs_c(c_binary, tmp_path, profile, tol):
+    """ops/agc.py's AGC_SEGMENT(=128)-aggregated RMS loop against the C
+    per-SAMPLE one-pole loop (the reference agc_crcf contract,
+    agc.c:38-68).  Tolerance derivation: the 1 kHz AM at RATE_OUT moves
+    the envelope by 2*pi*1000*128/RATE_OUT = 5.4% across one segment.
+    local's fast loop (beta=0.72 per segment) tracks the instantaneous
+    envelope, so its staircase gain differs from the continuous
+    per-sample gain by up to ~1.5 segments of envelope change (measured
+    6.7%, bound 9%); dx's slow loop (beta=0.013) averages the
+    within-segment variation away (measured 0.8%, bound 1.5%)."""
+    from iq_tool_tpu import constants as C
+    from iq_tool_tpu.ops import agc as agc_ops
+
+    n = 1 << 20
+    gain_path = str(tmp_path / "g.f32")
+    out_path = str(tmp_path / "o.raw")
+    r = subprocess.run(
+        [c_binary, str(n), "1", "0", f"agc:{profile}:{gain_path}:{out_path}"],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[:300]
+    c_gain = np.fromfile(gain_path, np.float32)
+    assert len(c_gain) == n
+
+    xr, xi = _agc_input(n)
+    seg = C.AGC_SEGMENT
+    bw = C.AGC_BW_DX if profile == "dx" else C.AGC_BW_LOCAL
+    beta = 1.0 - (1.0 - bw) ** seg
+    e_in = (xr.astype(np.float64) ** 2 + xi.astype(np.float64) ** 2) \
+        .reshape(n // seg, seg).mean(axis=-1).astype(np.float32)[:, None]
+    import jax.numpy as jnp
+    gains, g_fin, _ = agc_ops.rms_scan(
+        jnp.asarray(e_in), jnp.ones((1,), jnp.float32),
+        jnp.zeros((1,), jnp.float32), beta, C.AGC_TARGET)
+    py = np.asarray(gains)[:, 0]
+    c_at_seg_end = c_gain[seg - 1::seg]
+    warm = 64                                  # skip the cold-start ramp
+    rel = np.abs(py[warm:] / c_at_seg_end[warm:] - 1.0)
+    assert float(rel.max()) < tol, (profile, float(rel.max()))
+    # both converged to the RMS target: output RMS == 0.5 within 5%
+    y = _to_c64(np.fromfile(out_path, np.int16))
+    rms = float(np.sqrt(np.mean(np.abs(y[-200_000:]) ** 2)))
+    assert abs(rms / C.AGC_TARGET - 1.0) < 0.05, rms
+
+
+def test_agc_digital_state_machine_vs_c(c_binary, tmp_path):
+    """The digital peak-lock state machine per-block gains vs the C
+    implementation: identical semantics, so the trajectories must agree
+    to float precision, and the run must traverse all four regimes
+    (scan, lock, clip-ratchet, hang+creep — agc.c:117-221)."""
+    from iq_tool_tpu import constants as C
+    from iq_tool_tpu.ops import agc as agc_ops
+    import jax.numpy as jnp
+
+    block = 16384                              # AGC_BLOCK in iq_baseline.c
+    n = 1100 * block                           # 12.1 s at RATE_OUT
+    gain_path = str(tmp_path / "g.f32")
+    out_path = str(tmp_path / "o.raw")
+    r = subprocess.run(
+        [c_binary, str(n), "1", "0", f"agc:digital:{gain_path}:{out_path}"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[:300]
+    c_gain = np.fromfile(gain_path, np.float32)[::block]
+
+    xr, xi = _agc_input(n)
+    cfg = agc_ops.AgcConfig.make("digital", RATE_OUT)
+    st = agc_ops.init(1)
+    peaks = np.sqrt((xr.astype(np.float64) ** 2 + xi.astype(np.float64) ** 2)
+                    .reshape(n // block, block).max(axis=-1)).astype(np.float32)
+    py = []
+    for pk in peaks:
+        g, st = agc_ops.digital_update(st, jnp.full((1,), pk), block, cfg)
+        py.append(float(g[0]))
+    py = np.asarray(py)
+    np.testing.assert_allclose(py, c_gain, rtol=1e-4)
+
+    # regime coverage: lock boundary, the clip ratchet at 4 s, creep at 9 s
+    lock_block = int(C.AGC_DIGITAL_SCAN_SEC * RATE_OUT) // block + 1
+    b_clip = int(4.0 * RATE_OUT) // block      # block containing the step
+    assert np.all(np.diff(py[lock_block + 1: b_clip]) == 0)
+    # ratchet fired in the step block (or the next, if the step sample
+    # lands at a boundary): one >30% gain drop
+    drop = py[b_clip: b_clip + 2].min() / py[b_clip - 1]
+    assert drop < 0.7, drop
+    b_creep = int(9.0 * RATE_OUT) // block + 2
+    tail = py[b_creep:]
+    assert np.all(np.diff(tail) > 0)                   # creeping up
+    np.testing.assert_allclose(np.diff(np.log(tail)),
+                               np.log(C.AGC_DIGITAL_CREEP), rtol=0.05)
