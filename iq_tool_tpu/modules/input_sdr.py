@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import ctypes
 import ctypes.util
+import os
 import threading
 import time
 from typing import Iterator
@@ -31,6 +32,22 @@ from iq_tool_tpu import constants as C
 from iq_tool_tpu.modules.base import Block, InputModule, SourceInfo
 from iq_tool_tpu.utils.ringbuffer import make_ring as _make_ring
 
+
+def find_driver_lib(*names: str) -> str | None:
+    """Resolve a vendor driver library: the IQTOOL_<NAME>_LIB env var
+    (explicit path, checked first — the runtime analog of the
+    reference's manual dependency-path overrides, CMakeLists.txt:96-120,
+    and what the fake-driver e2e harness uses) or ctypes.util's search.
+    """
+    for name in names:
+        override = os.environ.get(f"IQTOOL_{name.upper()}_LIB")
+        if override:
+            return override
+    for name in names:
+        found = ctypes.util.find_library(name)
+        if found:
+            return found
+    return None
 
 
 def _require(args, name: str, flag: str):
@@ -262,7 +279,7 @@ class RtlSdrInput(_SdrInputBase):
 
     def initialize(self, config, args) -> SourceInfo:
         self._common_init(args)
-        libname = ctypes.util.find_library("rtlsdr")
+        libname = find_driver_lib("rtlsdr")
         if not libname:
             raise ValueError(
                 "rtlsdr input: librtlsdr not found on this host. TPU hosts "
@@ -378,8 +395,7 @@ class SdrPlayInput(_SdrInputBase):
         self._np = np
         self._sp = sp
         self._common_init(args)
-        libname = (ctypes.util.find_library("sdrplay_api")
-                   or ctypes.util.find_library("sdrplay"))
+        libname = find_driver_lib("sdrplay_api", "sdrplay")
         if not libname:
             raise ValueError(
                 "sdrplay input: libsdrplay_api not found on this host. TPU "
@@ -714,7 +730,7 @@ class HackRfInput(_SdrInputBase):
     def initialize(self, config, args) -> SourceInfo:
         self._common_init(args)
         hackrf_validate_rate(self._rate)
-        libname = ctypes.util.find_library("hackrf")
+        libname = find_driver_lib("hackrf")
         if not libname:
             raise ValueError(
                 "hackrf input: libhackrf not found on this host. TPU hosts "
@@ -815,7 +831,7 @@ class BladeRfInput(_SdrInputBase):
 
     def initialize(self, config, args) -> SourceInfo:
         self._common_init(args)
-        libname = ctypes.util.find_library("bladeRF")
+        libname = find_driver_lib("bladeRF")
         if not libname:
             raise ValueError(
                 "bladerf input: libbladeRF not found on this host. TPU "
