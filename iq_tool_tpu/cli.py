@@ -157,6 +157,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Shard each block over N devices along time "
                         "(halo-exchange sequence parallelism; default: "
                         "remaining devices / --mesh-channel)")
+    g.add_argument("--time-fold", type=int, metavar="F",
+                   help="Fold each channel's block into F consecutive "
+                        "time rows per device step, filling the 8-sublane "
+                        "batch a single stream leaves idle (default: auto "
+                        "— 8/channels on TPU, off elsewhere; 1 disables)")
     g.add_argument("--profile-dir", metavar="DIR",
                    help="Capture a jax.profiler trace of the run into DIR "
                         "(view with tensorboard/xprof)")
@@ -232,7 +237,8 @@ def expand_channel_paths(path: str | None, n: int, what: str) -> list:
 
 def build_chain(cfg: AppConfig, block_size: int, channels: int = 1,
                 mesh_channel: int | None = None,
-                mesh_time: int | None = None) -> Chain | None:
+                mesh_time: int | None = None,
+                time_fold: int | None = None) -> Chain | None:
     if cfg.raw_passthrough:
         return None
     shift = cfg.freq_shift_hz if cfg.freq_shift_hz is not None else cfg.nco_shift_hz
@@ -240,6 +246,17 @@ def build_chain(cfg: AppConfig, block_size: int, channels: int = 1,
     post = (shift or 0.0) if cfg.shift_after_resample else 0.0
     agc_profile = (cfg.agc_profile or "local") if cfg.output_agc else None
     make = Chain
+    if not (mesh_channel or mesh_time):
+        fold = time_fold
+        if fold is None:
+            from iq_tool_tpu.ops import banded
+            from iq_tool_tpu.pipeline.folded import auto_fold
+            fold = auto_fold(channels) if banded._on_tpu() else 1
+        if fold > 1:
+            from iq_tool_tpu.pipeline.folded import FoldedChain
+
+            def make(ccfg):
+                return FoldedChain(ccfg, fold)
     if mesh_channel or mesh_time:
         import jax
 
@@ -415,7 +432,8 @@ def main(argv=None) -> int:
         validate(cfg)
         chain = build_chain(cfg, args.block_size, channels=n_ch,
                             mesh_channel=args.mesh_channel,
-                            mesh_time=args.mesh_time)
+                            mesh_time=args.mesh_time,
+                            time_fold=args.time_fold)
         for c in range(n_ch):
             snk = get_output(cfg.output_type)
             snk_cfg = (cfg if n_ch == 1

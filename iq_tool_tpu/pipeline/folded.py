@@ -1,0 +1,347 @@
+"""Time-folded execution: one stream spread across sublane rows.
+
+Why: the chip saturates near 64-128 batched channels (docs/PERF.md channel
+table) because Pallas kernels tile channels in 8-sublane blocks and the
+VPU/MXU batch dimension starves at C=1 — the reference's PRIMARY use case
+(one stream, SURVEY.md section 3.2 hot loop) got ~9% of chip capability.
+
+Fix (VERDICT round-2 item 4): fold each channel's block into F
+consecutive time rows, so the compiled step sees a (C*F, n_sub) batch —
+the same shape a C*F-channel chain runs at full sublane occupancy — and
+stitch the sequential state across rows INSIDE the step:
+
+* halo tails (filters, resampler history, DC x_prev): row r uses row
+  r-1's tail; row 0 uses the carry — a plain reshape+concat, the
+  on-device analog of the sharded path's ppermute (parallel/sharded.py);
+* DC IIR: zero-start recurrence per row + exact sequential prefix
+  composition over F rows (first-order linear recurrence, identical math
+  to the sharded cross-shard prefix);
+* NCO: closed-form per-row phase offsets (uint32, exact);
+* RMS AGC: per-segment energies from all rows concatenated in time order
+  feed ONE gain scan — the gain trajectory is identical to sequential
+  execution;
+* digital AGC: one peak-lock update per folded step (peak over rows),
+  the same per-global-block semantics as the sharded path;
+* I/Q estimation: the estimator window is row 0's leading samples,
+  computed exactly from the carry.
+
+Equivalence contract (tests/test_folded.py): vs running the same stream
+through the unfolded chain at the row block size, the only deltas
+without the DC blocker are the known XLA batched-matmul M-dim
+re-association — the SAME +-1-code-on-<0.1%-of-samples delta that
+batched C>1 channels show against C=1 runs — and with the DC blocker its
+f32 association differences may move a few codes (60 dB SNR bound,
+code cap; identical to the sharded path's contract).
+
+The wire layout matches an unfolded chain at block F*n_sub, so
+StreamEngine/CLI drive a FoldedChain unchanged; the carry pytree is the
+row-block chain's carry (checkpoints interchangeable with it).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iq_tool_tpu import constants as C
+from iq_tool_tpu.ops import agc as agc_ops
+from iq_tool_tpu.ops import convert, dc_block, iq_balance, nco
+from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+
+# Tests force the fused Pallas pre-stage in interpret mode on CPU.
+_FUSED_INTERPRET = False
+
+
+def auto_fold(channels: int) -> int:
+    """Rows per channel that fill an 8-sublane block (1 past 8 channels)."""
+    return max(1, 8 // max(1, channels))
+
+
+class FoldedChain:
+    """Chain-compatible step over (C*F, n_sub) row batches.
+
+    Exposes the same surface as Chain (step/init_carry/n_in/n_out/
+    expected_out_frames/wire formats) at the global block size
+    n_in = F * row_chain.n_in.
+    """
+
+    def __init__(self, cfg: ChainConfig, fold: int):
+        if fold < 1:
+            raise ValueError("fold must be >= 1")
+        self.fold = int(fold)
+        self.local = Chain(cfg)            # row-block geometry + plans
+        self.cfg = cfg
+        self.channels = cfg.channels
+        self.rows = self.channels * self.fold
+        if cfg.iq_correction and self.local.n_in < C.IQ_FFT_SIZE:
+            raise ValueError("row block too small for I/Q estimation")
+
+        self.n_in = self.local.n_in * self.fold
+        self.n_out = self.local.n_out * self.fold
+        self.in_wire_len = self.n_in * self.local.fmt_in.items_per_frame
+        self.out_wire_len = self.n_out * self.local.fmt_out.items_per_frame
+        self.in_wire_dtype = self.local.in_wire_dtype
+        self.out_wire_dtype = self.local.out_wire_dtype
+        self._jitted = None
+
+    # Chain-compatible surface
+    @property
+    def fmt_in(self):
+        return self.local.fmt_in
+
+    @property
+    def fmt_out(self):
+        return self.local.fmt_out
+
+    @property
+    def resampler(self):
+        return self.local.resampler
+
+    def expected_out_frames(self, in_frames: int) -> int:
+        return self.local.expected_out_frames(in_frames)
+
+    def init_carry(self, channels: int | None = None) -> dict:
+        return self.local.init_carry(channels)
+
+    # --------------------------------------------------------------- helpers
+
+    def _rows(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(C, F*W) -> (C*F, W): frames are contiguous, so rows are
+        consecutive time slices of each channel."""
+        return x.reshape(self.rows, x.shape[-1] // self.fold)
+
+    def _unrows(self, x: jnp.ndarray) -> jnp.ndarray:
+        return x.reshape(self.channels, x.shape[-1] * self.fold)
+
+    def _rep(self, v: jnp.ndarray) -> jnp.ndarray:
+        """Per-channel vector/matrix -> per-row (repeat along a new row
+        axis): (C, ...) -> (C*F, ...)."""
+        return jnp.repeat(v, self.fold, axis=0)
+
+    def _shift_rows(self, tails: jnp.ndarray, carry_tail: jnp.ndarray):
+        """tails: (R, H) per-row trailing values; carry_tail: (C, H) = the
+        previous step's final row tails.  Returns (use (R, H), new (C, H))
+        — the on-device halo."""
+        cview = tails.reshape(self.channels, self.fold, -1)
+        use = jnp.concatenate([carry_tail[:, None], cview[:, :-1]],
+                              axis=1).reshape(self.rows, -1)
+        return use, cview[:, -1]
+
+    def _row_phases(self, carry_acc: jnp.ndarray, n_sub: int, dtheta):
+        """Exact uint32 per-row NCO phase offsets (closed form)."""
+        offs = (jnp.arange(self.fold, dtype=jnp.uint32)
+                * jnp.uint32(n_sub & 0xFFFFFFFF) * jnp.uint32(dtheta))
+        return (self._rep(carry_acc) + jnp.tile(offs, self.channels))
+
+    def _compose_dc_starts(self, ends: jnp.ndarray, carry_y: jnp.ndarray,
+                           a_l: jnp.ndarray):
+        """Zero-start row ends (R,) + carry (C,) -> true per-row start
+        values (R,) and the next-step carry (C,): sequential first-order
+        composition over F rows (8 scalar-vector ops)."""
+        e = ends.reshape(self.channels, self.fold)
+        starts = [carry_y]
+        for r in range(1, self.fold):
+            starts.append(e[:, r - 1] + a_l * starts[r - 1])
+        new_carry = e[:, -1] + a_l * starts[-1]
+        return jnp.stack(starts, axis=1).reshape(self.rows), new_carry
+
+    # ------------------------------------------------------------------ step
+
+    def _fused_pre_folded(self, xr, xi, x_prev_r, x_prev_i, carry, new):
+        """DC + IQ-apply + pre-NCO as one Pallas pass over (R, n_sub) rows
+        (full 8-sublane occupancy — the point of folding).  Runs the exact
+        recurrence from ZERO y-state; the omitted start * a^(k+1) term is
+        linear through IQ and the rotation, added afterwards (same design
+        as the sharded fused pre-stage)."""
+        from iq_tool_tpu.ops import banded, pallas_kernels
+        lc = self.local
+        cfg = lc.cfg
+        if not (banded._on_tpu() or _FUSED_INTERPRET):
+            return None
+        if pallas_kernels.dc_geometry(self.rows, lc.n_in) is None:
+            return None
+        n = lc.n_in
+        a_real = 1.0 - lc.dc_alpha
+        apow = np.power(a_real, np.arange(1, n + 1),
+                        dtype=np.float64).astype(np.float32)
+        a_l = jnp.float32(a_real ** n)
+
+        iqf = None
+        if cfg.iq_correction:
+            # estimator window: row 0's first IQ_FFT_SIZE DC'd samples —
+            # row 0's start IS the carry, so this is exact
+            nf = C.IQ_FFT_SIZE
+            xr0 = xr.reshape(self.channels, self.fold, n)[:, 0, :nf]
+            xi0 = xi.reshape(self.channels, self.fold, n)[:, 0, :nf]
+            st = carry["dc"]
+            seg_r, _, _ = dc_block._apply_plane(xr0, st.xr_prev, st.yr_prev,
+                                                lc.dc_alpha)
+            seg_i, _, _ = dc_block._apply_plane(xi0, st.xi_prev, st.yi_prev,
+                                                lc.dc_alpha)
+            new["iq"] = iq_balance.maybe_update_planar(
+                seg_r, seg_i, carry["iq"], self.local.iq_interval,
+                advance_samples=self.n_in)
+            iqf = new["iq"].factors
+
+        dth = int(lc.dtheta_pre)
+        phase = None
+        if dth:
+            phase = self._row_phases(carry["nco_pre"], n, dth)
+        st4 = jnp.stack([x_prev_r, x_prev_i,
+                         jnp.zeros_like(x_prev_r),
+                         jnp.zeros_like(x_prev_i)], axis=-1)
+        res = pallas_kernels.dc_block_apply(
+            xr, xi, st4,
+            lc.dc_alpha, self._rep(iqf) if iqf is not None else None,
+            phase[:, None] if phase is not None else None, dth,
+            interpret=_FUSED_INTERPRET)
+        if res is None:
+            if cfg.iq_correction:
+                del new["iq"]
+            return None
+        yr, yi, st4n = res
+        start_r, cyr = self._compose_dc_starts(st4n[:, 2], carry["dc"].yr_prev,
+                                               a_l)
+        start_i, cyi = self._compose_dc_starts(st4n[:, 3], carry["dc"].yi_prev,
+                                               a_l)
+        dr = start_r[:, None] * apow[None, :]
+        di = start_i[:, None] * apow[None, :]
+        if iqf is not None:
+            dr, di = iq_balance.apply_planar(dr, di, self._rep(iqf))
+        if dth:
+            dr, di, _ = nco.apply_planar(dr, di, phase, lc.dtheta_pre)
+            new["nco_pre"] = (carry["nco_pre"]
+                              + jnp.uint32(self.n_in & 0xFFFFFFFF)
+                              * jnp.uint32(dth))
+        yr = yr + dr
+        yi = yi + di
+        xl = xr.reshape(self.channels, self.fold, n)[:, -1, -1]
+        xli = xi.reshape(self.channels, self.fold, n)[:, -1, -1]
+        new["dc"] = dc_block.PlanarDcState(xl, xli, cyr, cyi)
+        return yr, yi
+
+    def _dc_folded_plane(self, x, x_prev_use, carry_y, alpha):
+        """Exact cross-row first-order IIR on one real plane (XLA path)."""
+        n = x.shape[-1]
+        y0, _, end0 = dc_block._apply_plane(
+            x, x_prev_use, jnp.zeros((self.rows,), jnp.float32), alpha)
+        a_real = 1.0 - alpha
+        a_l = jnp.float32(a_real ** n)
+        starts, new_carry = self._compose_dc_starts(end0, carry_y, a_l)
+        apow = np.power(a_real, np.arange(1, n + 1),
+                        dtype=np.float64).astype(np.float32)
+        return y0 + starts[:, None] * apow[None, :], new_carry
+
+    def _agc_folded(self, xr, xi, state, cfg):
+        if cfg.profile == "digital":
+            pk = jnp.sqrt(jnp.max((xr * xr + xi * xi)
+                                  .reshape(self.channels, -1), axis=-1))
+            gain, new_state = agc_ops.digital_update(
+                state, pk, self.n_out, cfg)
+            g = self._rep(gain)[:, None]
+            return xr * g, xi * g, new_state
+        n = xr.shape[-1]
+        n_seg, seg, beta = agc_ops.rms_params(cfg, n)
+        xsr = xr[:, : n_seg * seg].reshape(self.rows, n_seg, seg)
+        xsi = xi[:, : n_seg * seg].reshape(self.rows, n_seg, seg)
+        e_rows = jnp.mean(xsr * xsr + xsi * xsi, axis=-1)       # (R, n_seg)
+        # rows in time order per channel -> (F*n_seg, C) global sequence
+        e_seq = (e_rows.reshape(self.channels, self.fold * n_seg)
+                 .T)                                            # (F*n_seg, C)
+        gains, g_fin, e2_fin = agc_ops.rms_scan(
+            e_seq, state.gain, state.e2, beta, cfg.target)
+        g_rows = gains.T.reshape(self.rows, n_seg)[:, :, None]
+        yr = (xsr * g_rows).reshape(self.rows, n_seg * seg)
+        yi = (xsi * g_rows).reshape(self.rows, n_seg * seg)
+        if n_seg * seg < n:
+            g_last = g_rows[:, -1]
+            yr = jnp.concatenate([yr, xr[:, n_seg * seg:] * g_last], -1)
+            yi = jnp.concatenate([yi, xi[:, n_seg * seg:] * g_last], -1)
+        new_state = state._replace(
+            gain=g_fin, e2=e2_fin,
+            samples_seen=state.samples_seen + jnp.uint32(self.n_out))
+        return yr, yi, new_state
+
+    def _step(self, carry: dict, raw: jnp.ndarray, reset: jnp.ndarray):
+        lc = self.local
+        cfg = lc.cfg
+        carry = jax.lax.cond(reset, lc._reset_carry, lambda c: c, carry)
+        new = dict(carry)
+
+        xr, xi = convert.to_planar(self._rows(raw), self.fmt_in, cfg.gain)
+        n = lc.n_in
+
+        fused = None
+        if cfg.dc_block:
+            xpr, cxr = self._shift_rows(xr[:, -1:], carry["dc"].xr_prev[:, None])
+            xpi, cxi = self._shift_rows(xi[:, -1:], carry["dc"].xi_prev[:, None])
+            fused = self._fused_pre_folded(xr, xi, xpr[:, 0], xpi[:, 0],
+                                           carry, new)
+            if fused is not None:
+                xr, xi = fused
+            else:
+                yr, cyr = self._dc_folded_plane(xr, xpr[:, 0],
+                                                carry["dc"].yr_prev,
+                                                lc.dc_alpha)
+                yi, cyi = self._dc_folded_plane(xi, xpi[:, 0],
+                                                carry["dc"].yi_prev,
+                                                lc.dc_alpha)
+                xr, xi = yr, yi
+                new["dc"] = dc_block.PlanarDcState(cxr[:, 0], cxi[:, 0],
+                                                   cyr, cyi)
+        if fused is None and cfg.iq_correction:
+            nf = C.IQ_FFT_SIZE
+            seg_r = xr.reshape(self.channels, self.fold, n)[:, 0, :nf]
+            seg_i = xi.reshape(self.channels, self.fold, n)[:, 0, :nf]
+            new["iq"] = iq_balance.maybe_update_planar(
+                seg_r, seg_i, carry["iq"], lc.iq_interval,
+                advance_samples=self.n_in)
+            xr, xi = iq_balance.apply_planar(xr, xi,
+                                             self._rep(new["iq"].factors))
+        if fused is None and int(lc.dtheta_pre) != 0:
+            phase = self._row_phases(carry["nco_pre"], n, lc.dtheta_pre)
+            xr, xi, _ = nco.apply_planar(xr, xi, phase, lc.dtheta_pre)
+            new["nco_pre"] = (carry["nco_pre"]
+                              + jnp.uint32(self.n_in & 0xFFFFFFFF)
+                              * lc.dtheta_pre)
+        if lc.pre_filter:
+            b = lc.pre_filter.block
+            ur, cr = self._shift_rows(xr[:, -b:], carry["pre_f"][0])
+            ui, ci = self._shift_rows(xi[:, -b:], carry["pre_f"][1])
+            xr, xi, _, _ = lc.pre_filter.apply_planar(xr, xi, ur, ui)
+            new["pre_f"] = (cr, ci)
+        if lc.resampler:
+            new_rs = []
+            for si, (stage, st) in enumerate(zip(lc.resampler.stages,
+                                                 carry["rs"])):
+                h = st[0].shape[-1]
+                ur, cr = self._shift_rows(xr[:, -h:], st[0])
+                ui, ci = self._shift_rows(xi[:, -h:], st[1])
+                xr, xi, _, _ = stage.apply_planar(xr, xi, ur, ui)
+                new_rs.append((cr, ci))
+            new["rs"] = tuple(new_rs)
+        if lc.post_filter:
+            b = lc.post_filter.block
+            ur, cr = self._shift_rows(xr[:, -b:], carry["post_f"][0])
+            ui, ci = self._shift_rows(xi[:, -b:], carry["post_f"][1])
+            xr, xi, _, _ = lc.post_filter.apply_planar(xr, xi, ur, ui)
+            new["post_f"] = (cr, ci)
+        if int(lc.dtheta_post) != 0:
+            phase = self._row_phases(carry["nco_post"], lc.n_out,
+                                     lc.dtheta_post)
+            xr, xi, _ = nco.apply_planar(xr, xi, phase, lc.dtheta_post)
+            new["nco_post"] = (carry["nco_post"]
+                               + jnp.uint32(self.n_out & 0xFFFFFFFF)
+                               * lc.dtheta_post)
+        if lc.agc_cfg:
+            xr, xi, new["agc"] = self._agc_folded(xr, xi, carry["agc"],
+                                                  lc.agc_cfg)
+        out = convert.from_planar(xr, xi, self.fmt_out)
+        return new, self._unrows(out)
+
+    @property
+    def step(self):
+        if self._jitted is None:
+            self._jitted = jax.jit(self._step, donate_argnums=(0,))
+        return self._jitted

@@ -1,0 +1,152 @@
+"""Time-folded chain vs the sequential row-block chain.
+
+Equivalence contract: without the DC blocker the only deltas are the
+known XLA batched-matmul M-dim re-association — the SAME +-1-code-on-
+<0.1%-of-samples delta that batched C>1 channels show against C=1 runs
+(docs/PERF.md) — so we assert max |diff| <= 1 code on < 0.1% of samples.
+With the DC blocker, its f32 association differences may move a few
+codes (60 dB SNR + code cap, as in tests/test_sharded.py)."""
+
+import jax
+import numpy as np
+import pytest
+
+from iq_tool_tpu.ops.fir_design import FilterRequest
+from iq_tool_tpu.pipeline import folded as folded_mod
+from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+from iq_tool_tpu.pipeline.folded import FoldedChain, auto_fold
+
+
+def _cfg(channels=1, block=2048, dc=True, **kw):
+    base = dict(
+        input_format="cs16", output_format="cs16",
+        input_rate=2_048_000.0, target_rate=1_488_375.0,
+        channels=channels, dc_block=dc,
+        freq_shift_pre_hz=150_000.0, freq_shift_post_hz=-25_000.0,
+        filters=[FilterRequest("lowpass", 400_000.0)],
+        agc_profile="local", target_block=block)
+    base.update(kw)
+    return ChainConfig(**base)
+
+
+def _sequential(cfg, raws, fold, reset_idx=None):
+    """Reference: the row-block chain fed each folded block in F slices."""
+    single = Chain(cfg)
+    carry = single.init_carry()
+    outs = []
+    w = single.in_wire_len
+    for i, raw in enumerate(raws):
+        for j in range(fold):
+            reset = np.bool_(reset_idx == i and j == 0)
+            carry, out = single.step(carry, raw[:, j * w:(j + 1) * w], reset)
+            outs.append(np.asarray(jax.device_get(out)))
+    return np.concatenate(outs, axis=-1)
+
+
+def _run_folded(fc, raws, reset_idx=None):
+    carry = fc.init_carry()
+    outs = []
+    for i, raw in enumerate(raws):
+        carry, out = fc.step(carry, raw, np.bool_(reset_idx == i))
+        outs.append(np.asarray(jax.device_get(out)))
+    return np.concatenate(outs, axis=-1)
+
+
+def _raws(n_blocks, fc, rng):
+    return [rng.integers(-2 ** 14, 2 ** 14,
+                         (fc.channels, fc.in_wire_len)).astype(np.int16)
+            for _ in range(n_blocks)]
+
+
+def _assert_codes(got, want, max_code=1, frac=1e-3):
+    diff = got.astype(np.int32) - want.astype(np.int32)
+    assert np.abs(diff).max() <= max_code, np.abs(diff).max()
+    assert (diff != 0).mean() < frac, (diff != 0).mean()
+
+
+def test_folded_without_dc_within_one_code(rng):
+    cfg = _cfg(dc=False)
+    fc = FoldedChain(cfg, fold=8)
+    raws = _raws(3, fc, rng)
+    got = _run_folded(fc, raws)
+    want = _sequential(cfg, raws, 8)
+    _assert_codes(got, want)
+
+
+def test_folded_full_chain_snr(rng):
+    cfg = _cfg(dc=True)
+    fc = FoldedChain(cfg, fold=8)
+    raws = _raws(3, fc, rng)
+    got = _run_folded(fc, raws)
+    want = _sequential(cfg, raws, 8)
+    diff = got.astype(np.float64) - want.astype(np.float64)
+    snr = 10 * np.log10((want.astype(np.float64) ** 2).mean()
+                        / ((diff ** 2).mean() + 1e-30))
+    assert snr > 60.0, snr
+    assert np.abs(diff).max() <= 32
+
+
+def test_folded_multichannel(rng):
+    cfg = _cfg(channels=2, dc=False)
+    fc = FoldedChain(cfg, fold=4)
+    raws = _raws(2, fc, rng)
+    got = _run_folded(fc, raws)
+    want = _sequential(cfg, raws, 4)
+    _assert_codes(got, want)
+
+
+def test_folded_reset_propagation(rng):
+    cfg = _cfg(dc=False)
+    fc = FoldedChain(cfg, fold=8)
+    raws = _raws(3, fc, rng)
+    got = _run_folded(fc, raws, reset_idx=1)
+    want = _sequential(cfg, raws, 8, reset_idx=1)
+    _assert_codes(got, want)
+
+
+def test_folded_fused_pre_interpret(rng, monkeypatch):
+    """The fused Pallas pre-stage (zero-start kernel + sequential prefix
+    composition) against the XLA folded path, interpret mode."""
+    cfg = _cfg(dc=True, iq_correction=True,
+               filters=[FilterRequest("lowpass", 400_000.0)])
+    fc_x = FoldedChain(cfg, fold=8)
+    raws = _raws(2, fc_x, rng)
+    want = _run_folded(fc_x, raws)
+    monkeypatch.setattr(folded_mod, "_FUSED_INTERPRET", True)
+    fc_k = FoldedChain(cfg, fold=8)
+    got = _run_folded(fc_k, raws)
+    diff = got.astype(np.float64) - want.astype(np.float64)
+    snr = 10 * np.log10((want.astype(np.float64) ** 2).mean()
+                        / ((diff ** 2).mean() + 1e-30))
+    assert snr > 60.0, snr
+    assert np.abs(diff).max() <= 4
+
+
+def test_folded_digital_agc_semantics(rng):
+    """Digital profile: one peak-lock update per folded step (the
+    sharded path's per-global-block semantics) — must match the unfolded
+    chain at the global block size at the SNR level."""
+    cfg = _cfg(dc=False, agc_profile="digital")
+    fc = FoldedChain(cfg, fold=8)
+    big = Chain(ChainConfig(**{**cfg.__dict__,
+                               "target_block": fc.n_in}))
+    assert big.n_in == fc.n_in
+    raws = _raws(3, fc, rng)
+    got = _run_folded(fc, raws)
+    carry = big.init_carry()
+    outs = []
+    for raw in raws:
+        carry, out = big.step(carry, raw, np.False_)
+        outs.append(np.asarray(jax.device_get(out)))
+    want = np.concatenate(outs, axis=-1)
+    diff = got.astype(np.float64) - want.astype(np.float64)
+    snr = 10 * np.log10((want.astype(np.float64) ** 2).mean()
+                        / ((diff ** 2).mean() + 1e-30))
+    assert snr > 60.0, snr
+
+
+def test_auto_fold():
+    assert auto_fold(1) == 8
+    assert auto_fold(2) == 4
+    assert auto_fold(8) == 1
+    assert auto_fold(128) == 1
