@@ -104,6 +104,10 @@ class FoldedChain:
     def init_carry(self, channels: int | None = None) -> dict:
         return self.local.init_carry(channels)
 
+    def _build_carry(self, channels: int) -> dict:
+        """Traceable carry builder (bench scan bodies call this in-jit)."""
+        return self.local._build_carry(channels)
+
     # --------------------------------------------------------------- helpers
 
     def _rows(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -23,13 +23,17 @@ IN_RATE, OUT_RATE = 2_048_000.0, 1_488_375.0
 
 
 def measure(chain_cfg, channels: int, reps: int = 3,
-            ks: tuple = (3, 13)) -> float:
+            ks: tuple = (3, 13), fold: int = 1) -> float:
     import jax
     import jax.numpy as jnp
 
     from iq_tool_tpu.pipeline.chain import Chain
 
-    chain = Chain(chain_cfg)
+    if fold > 1:
+        from iq_tool_tpu.pipeline.folded import FoldedChain
+        chain = FoldedChain(chain_cfg, fold)
+    else:
+        chain = Chain(chain_cfg)
     rng = np.random.default_rng(0)
     raw = rng.integers(0, 255, (channels, chain.in_wire_len)) \
         .astype(chain.in_wire_dtype)

@@ -30,6 +30,9 @@ from bench_all import IN_RATE, OUT_RATE, measure  # noqa: E402
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--block", type=int, default=1 << 18)
+    ap.add_argument("--fold", type=int, default=1,
+                    help="time-fold F per channel (pipeline/folded.py); "
+                         "the C=1 sublane fix is --fold 8")
     ap.add_argument("--channels", type=int, nargs="*",
                     default=[1, 4, 16, 64, 128])
     opts = ap.parse_args()
@@ -47,8 +50,9 @@ def main() -> int:
         # small-channel steps are sub-millisecond; stretch the in-jit scan
         # so the two-length difference dwarfs tunnel jitter
         ks = (10, 110) if c <= 16 else (3, 23)
-        msps = measure(cfg, c, ks=ks)
-        print(json.dumps({"channels": c, "Msps_in": round(msps, 1),
+        msps = measure(cfg, c, ks=ks, fold=opts.fold)
+        print(json.dumps({"channels": c, "fold": opts.fold,
+                          "Msps_in": round(msps, 1),
                           "per_channel": round(msps / c, 2)}), flush=True)
     return 0
 

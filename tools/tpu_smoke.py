@@ -149,6 +149,78 @@ def main() -> int:
         check("osfft 3/4-advance kernel vs host oracle", False,
               str(e)[:200])
 
+    # mixed advance schedule at the CLI framing (n_out = 11907 < 3b/2):
+    # the 3/4 + half + ragged segments must agree with the host oracle
+    try:
+        from iq_tool_tpu.ops import filters as _filters
+        rng = np.random.default_rng(5)
+        taps = rng.standard_normal(2175).astype(np.complex64)
+        taps /= np.abs(taps).sum()
+        sf = _filters.StreamingFilter(taps, "fft")
+        b = sf.block
+        for n in (11907, 3 * b // 2 + b + 777):
+            xr = rng.standard_normal((8, n)).astype(np.float32)
+            xi = rng.standard_normal((8, n)).astype(np.float32)
+            st = (rng.standard_normal((8, b)).astype(np.float32),
+                  rng.standard_normal((8, b)).astype(np.float32))
+            run = jax.jit(lambda a, c, d, e: sf.apply_planar(a, c, d, e)[:2])
+            gr, gi = jax.device_get(run(xr, xi, *st))
+            ext = (np.concatenate([st[0], xr], -1)
+                   + 1j * np.concatenate([st[1], xi], -1)).astype(np.complex128)
+            h128 = np.fft.ifft(np.asarray(sf._h).astype(np.complex128))
+            L = 1 << int(np.ceil(np.log2(ext.shape[-1] + sf.nfft)))
+            ref = np.fft.ifft(np.fft.fft(ext, L, axis=-1)
+                              * np.fft.fft(h128, L), axis=-1)[:, b:b + n]
+            err = float(np.max(np.abs((gr + 1j * gi) - ref)))
+            if err >= 2e-3:
+                break
+        check("osfft mixed-advance schedule (CLI framing) vs oracle",
+              err < 2e-3, f"max abs err {err:.2e}")
+    except Exception as e:
+        check("osfft mixed-advance schedule (CLI framing) vs oracle",
+              False, str(e)[:200])
+
+    # single-stream sublane folding: FoldedChain(F=8) vs the sequential
+    # row-block chain on the real chip (Mosaic lowering of the folded
+    # fused pre-stage + row-batched banded stages)
+    try:
+        from iq_tool_tpu.ops.fir_design import FilterRequest
+        from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+        from iq_tool_tpu.pipeline.folded import FoldedChain
+        fcfg = ChainConfig(
+            input_format="cs16", output_format="cs16",
+            input_rate=RATE_IN, target_rate=RATE_OUT,
+            dc_block=True, freq_shift_pre_hz=100e3,
+            filters=(FilterRequest("lowpass", 400e3),),
+            agc_profile="local", target_block=16384)
+        fc = FoldedChain(fcfg, fold=8)
+        seq = Chain(fcfg)
+        rng = np.random.default_rng(11)
+        raws = [rng.integers(-2 ** 14, 2 ** 14, (1, fc.in_wire_len))
+                .astype(np.int16) for _ in range(2)]
+        ca = fc.init_carry()
+        outs_a = []
+        for r in raws:
+            ca, oa = fc.step(ca, r, np.bool_(False))
+            outs_a.append(np.asarray(jax.device_get(oa)))
+        cb = seq.init_carry(1)
+        outs_b = []
+        w = seq.in_wire_len
+        for r in raws:
+            for j in range(8):
+                cb, ob = seq.step(cb, r[:, j * w:(j + 1) * w], np.bool_(False))
+                outs_b.append(np.asarray(jax.device_get(ob)))
+        a = np.concatenate(outs_a, -1).astype(np.float64)
+        bb = np.concatenate(outs_b, -1).astype(np.float64)
+        d = np.abs(a - bb)
+        snr = 10 * np.log10((bb ** 2).mean() / ((d ** 2).mean() + 1e-30))
+        check("folded chain (F=8) == sequential row chain",
+              bool(snr > 60 and d.max() <= 32),
+              f"snr {snr:.1f} dB maxdiff {d.max():.0f} codes")
+    except Exception as e:
+        check("folded chain (F=8) == sequential row chain", False,
+              str(e)[:200])
+
     # sharded step on the real chip (1-device mesh): exercises the FUSED
     # Pallas pre-stage on the sharded path (zero-start kernel + linear
     # prefix correction) against the plain chain
