@@ -396,6 +396,14 @@ class StreamEngine:
             allowed = ch.expected_out_frames(s.frames_in)
             emit = max(0, min(allowed - scheduled_out, ch.n_out))
             scheduled_out += emit
+            try:
+                # start the device->host transfer NOW so the writer
+                # thread's device_get finds the bytes already in flight —
+                # otherwise each readback serializes behind the previous
+                # sink write (weakness: readback blocked the writer)
+                out.copy_to_host_async()
+            except Exception:
+                pass                    # best-effort (backend-dependent)
             writer.put(out, emit)       # blocks when the pipe is full
 
         def consistent_cut():

@@ -150,3 +150,28 @@ def test_auto_fold():
     assert auto_fold(2) == 4
     assert auto_fold(8) == 1
     assert auto_fold(128) == 1
+
+
+def test_folded_cli_e2e(tmp_path, rng):
+    """--time-fold 8 through the real CLI: output equals the unfolded run
+    within the batching contract, exact frame accounting."""
+    from iq_tool_tpu.cli import main
+
+    n = 300_000
+    inp = tmp_path / "in.raw"
+    raw = rng.integers(-2 ** 14, 2 ** 14, 2 * n).astype(np.int16)
+    raw.tofile(str(inp))
+    argv = ["-i", "raw-file", "-o", "raw",
+            "--raw-file-input-rate", "2048000",
+            "--raw-file-input-sample-format", "cs16",
+            "--output-rate", "1488375", "--output-sample-format", "cs16",
+            "--freq-shift", "-100e3", "--lowpass", "400000",
+            "--force-overwrite"]
+    out_f = tmp_path / "folded.raw"
+    out_u = tmp_path / "plain.raw"
+    assert main(argv + ["--time-fold", "8", str(inp), str(out_f)]) == 0
+    assert main(argv + ["--time-fold", "1", str(inp), str(out_u)]) == 0
+    a = np.fromfile(str(out_f), np.int16)
+    b = np.fromfile(str(out_u), np.int16)
+    assert len(a) == len(b) == 2 * (n * 11907 // 16384)
+    _assert_codes(a, b)
