@@ -246,17 +246,27 @@ def build_chain(cfg: AppConfig, block_size: int, channels: int = 1,
     post = (shift or 0.0) if cfg.shift_after_resample else 0.0
     agc_profile = (cfg.agc_profile or "local") if cfg.output_agc else None
     make = Chain
+    if (mesh_channel or mesh_time) and time_fold and time_fold > 1:
+        raise ValueError(
+            "--time-fold does not combine with --mesh-channel/--mesh-time "
+            "(the sharded path has its own per-shard batching)")
     if not (mesh_channel or mesh_time):
         fold = time_fold
-        if fold is None:
+        auto = fold is None
+        if auto:
             from iq_tool_tpu.ops import banded
             from iq_tool_tpu.pipeline.folded import auto_fold
             fold = auto_fold(channels) if banded._on_tpu() else 1
         if fold > 1:
             from iq_tool_tpu.pipeline.folded import FoldedChain
 
-            def make(ccfg):
-                return FoldedChain(ccfg, fold)
+            def make(ccfg, _fold=fold, _auto=auto):
+                try:
+                    return FoldedChain(ccfg, _fold)
+                except ValueError:
+                    if not _auto:
+                        raise        # the user asked for this fold
+                    return Chain(ccfg)   # auto: fall back to unfolded
     if mesh_channel or mesh_time:
         import jax
 

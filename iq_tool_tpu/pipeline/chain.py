@@ -74,6 +74,13 @@ class ChainConfig:
         return self.target_rate if self.resampling else self.input_rate
 
 
+def _osfft_engages() -> bool:
+    """True when the fused overlap-save Pallas kernel can actually run
+    (TPU backend, or tests forcing interpret mode)."""
+    from iq_tool_tpu.ops import banded, filters
+    return banded._on_tpu() or filters._OSFFT_INTERPRET
+
+
 def _decide_filter_stage(cfg: ChainConfig) -> str:
     """filter.c:43-92: post-resample iff downsampling and the chain fits
     under the output Nyquist; error if it doesn't fit under input Nyquist."""
@@ -137,13 +144,17 @@ class Chain:
                 if filt is not None and filt.method == "fft":
                     hard.append(n >= filt.block)
                     adv = filt.osfft_advance
-                    if not filt._exec_banded and adv > filt.block:
+                    if (not filt._exec_banded and adv > filt.block
+                            and _osfft_engages()):
                         # amortize the fused overlap-save kernel: grow
                         # until >= 4 full 3/4-advance windows fit per
                         # step, so its 33%-fewer-windows win engages at
                         # CLI framing too (the reference sizes FFT
                         # blocks freely, filter.c:317-336) — but only up
-                        # to OSFFT_FRAME_CAP, never as a hard failure
+                        # to OSFFT_FRAME_CAP, never as a hard failure.
+                        # TPU/interpret only: off-TPU the kernel never
+                        # runs, so growing would cost 8x block memory
+                        # and latency for nothing
                         soft.append(n >= 4 * adv)
             if all(hard) and (all(soft) or tb >= C.OSFFT_FRAME_CAP):
                 break

@@ -84,6 +84,25 @@ class FoldedChain:
         self.in_wire_dtype = self.local.in_wire_dtype
         self.out_wire_dtype = self.local.out_wire_dtype
         self._jitted = None
+        # Folding requires every stage's carried tail to fit in one row
+        # (a tail wider than the row block is valid for the unfolded
+        # chain, which handles n < hist).  A shape-only trace surfaces
+        # any such mismatch NOW as a clean "incompatible" error that the
+        # CLI's auto-fold path can fall back from.
+        if fold > 1:
+            try:
+                carry_shape = jax.eval_shape(
+                    lambda: self.local._build_carry(self.channels))
+                jax.eval_shape(
+                    self._step, carry_shape,
+                    jax.ShapeDtypeStruct((self.channels, self.in_wire_len),
+                                         self.in_wire_dtype),
+                    jax.ShapeDtypeStruct((), np.bool_))
+            except Exception as e:
+                raise ValueError(
+                    f"configuration incompatible with --time-fold {fold} "
+                    f"(a stage's carried state exceeds the {self.local.n_in}"
+                    f"-frame row block); use --time-fold 1: {e}") from None
 
     # Chain-compatible surface
     @property

@@ -263,12 +263,15 @@ def test_osfft_mixed_advance_schedule(rng, monkeypatch):
                                        atol=2e-4)
 
 
-def test_chain_grows_block_for_osfft_advance():
+def test_chain_grows_block_for_osfft_advance(monkeypatch):
     """A DFT-engine post filter (2175-tap notch at the output rate) must
     grow the chain block until >= 4 full 3/4-advance windows fit, so the
-    fused kernel engages at the CLI default block (VERDICT r2 item 2)."""
+    fused kernel engages at the CLI default block (VERDICT r2 item 2).
+    The growth only applies where the kernel can run (TPU / interpret);
+    off-TPU it would cost 8x memory for nothing."""
     from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
 
+    monkeypatch.setattr(filters, "_OSFFT_INTERPRET", True)
     cfg = ChainConfig(input_format="cs16", output_format="cs16",
                       input_rate=2_048_000.0, target_rate=1_488_375.0,
                       filters=[fir_design.FilterRequest("stop-range",

@@ -175,3 +175,33 @@ def test_folded_cli_e2e(tmp_path, rng):
     b = np.fromfile(str(out_u), np.int16)
     assert len(a) == len(b) == 2 * (n * 11907 // 16384)
     _assert_codes(a, b)
+
+
+def test_folded_rejects_tail_wider_than_row(rng):
+    """A carried tail wider than the row block (valid unfolded) must be
+    rejected at CONSTRUCTION with a clear error (the CLI's auto-fold
+    falls back to the unfolded chain on this ValueError)."""
+    from iq_tool_tpu.ops.fir_design import FilterRequest
+    from iq_tool_tpu.pipeline.chain import ChainConfig
+
+    cfg = ChainConfig(input_format="cs16", output_format="cs16",
+                      input_rate=2_048_000.0, target_rate=None,
+                      filters=[FilterRequest("lowpass", 400_000.0)],
+                      filter_method="fir", filter_taps=3001,
+                      target_block=2048)
+    with pytest.raises(ValueError, match="time-fold"):
+        FoldedChain(cfg, fold=8)
+
+
+def test_cli_time_fold_conflicts_with_mesh(tmp_path, rng):
+    from iq_tool_tpu.cli import main
+
+    inp = tmp_path / "in.raw"
+    rng.integers(-100, 100, 4096).astype(np.int16).tofile(str(inp))
+    rc = main(["-i", "raw-file", "-o", "raw", str(inp),
+               str(tmp_path / "out.raw"),
+               "--raw-file-input-rate", "2048000",
+               "--raw-file-input-sample-format", "cs16",
+               "--output-rate", "1488375", "--output-sample-format", "cs16",
+               "--mesh-time", "2", "--time-fold", "8", "--force-overwrite"])
+    assert rc != 0

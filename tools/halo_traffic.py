@@ -31,6 +31,13 @@ if "pytest" not in sys.modules:
 
 import numpy as np  # noqa: E402
 
+# Match TPU block geometry (the chain grows blocks for the fused
+# overlap-save kernel only where it can run); interpret mode makes the
+# CPU trace take the same framing the real chip uses.
+from iq_tool_tpu.ops import filters as _filters  # noqa: E402
+
+_filters._OSFFT_INTERPRET = True
+
 COLLECTIVES = ("ppermute", "all_gather", "psum", "pmax", "all_to_all",
                "reduce_scatter")
 
@@ -129,8 +136,7 @@ def main():
             "collectives": hits,
             "bytes_per_shard_per_step": per_shard,
             "bytes_per_input_sample_per_shard":
-                per_shard / (sc.n_in / t * sc.c_local
-                             if False else sc.local.n_in) / cfg.channels,
+                per_shard / sc.local.n_in / cfg.channels,
         }
         report["configs"][name] = entry
         if not args.json:
