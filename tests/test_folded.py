@@ -205,3 +205,46 @@ def test_cli_time_fold_conflicts_with_mesh(tmp_path, rng):
                "--output-rate", "1488375", "--output-sample-format", "cs16",
                "--mesh-time", "2", "--time-fold", "8", "--force-overwrite"])
     assert rc != 0
+
+
+def test_checkpoint_interchange_folded_unfolded(tmp_path, rng):
+    """A checkpoint from an unfolded run resumes under --time-fold 8 (the
+    carry pytree is the row-block chain's carry in both), and the result
+    matches the uninterrupted run within the batching contract — the
+    CPU-checkpoint -> TPU-auto-fold-resume scenario."""
+    from iq_tool_tpu.cli import main
+
+    n = 16384 * 4
+    i = np.arange(n, dtype=np.float64)
+    x = 0.4 * np.exp(2j * np.pi * 80e3 * i / 2.048e6)
+    raw = np.empty(2 * n, np.int16)
+    raw[0::2] = np.rint(32767 * x.real)
+    raw[1::2] = np.rint(32767 * x.imag)
+    inp = tmp_path / "in.raw"
+    raw.tofile(str(inp))
+    base = ["-i", "raw-file", "-o", "raw",
+            "--raw-file-input-rate", "2048000",
+            "--raw-file-input-sample-format", "cs16",
+            "--output-rate", "1488375", "--dc-block",
+            "--freq-shift", "30e3", "--lowpass", "400e3",
+            "--force-overwrite"]
+
+    full = tmp_path / "full.raw"
+    assert main(base + ["--time-fold", "1", str(inp), str(full)]) == 0
+
+    cut = 16384 * 2 + 5000
+    half_in = tmp_path / "half.raw"
+    half_in.write_bytes(inp.read_bytes()[: cut * 4])
+    part = tmp_path / "part.raw"
+    ckpt = tmp_path / "state.ckpt"
+    assert main(base + ["--time-fold", "1", str(half_in), str(part),
+                        "--checkpoint", str(ckpt)]) == 0
+    # resume the rest FOLDED
+    assert main(base + ["--time-fold", "8", str(inp), str(part),
+                        "--checkpoint", str(ckpt), "--resume"]) == 0
+    a = np.frombuffer(part.read_bytes(), np.int16)
+    b = np.frombuffer(full.read_bytes(), np.int16)
+    assert len(a) == len(b)
+    d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+    # folded vs unfolded: batching re-association + DC IIR association
+    assert d.max() <= 32 and (d != 0).mean() < 0.01
