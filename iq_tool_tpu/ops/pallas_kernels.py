@@ -330,11 +330,16 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
 
 # ---------------------------- DC blocker kernel -------------------------------
 
-def _dc_kernel(xr_ref, xi_ref, st_ref, m_ref, d_ref, *rest,
-               cb, cell, t, a, with_iq, dtheta):
+def _dc_kernel(*refs, cb, cell, t, a, with_iq, dtheta,
+               wire_norm=0.0, wire_gain=1.0):
     """Fused DC-block recurrence over one (cb, cell) tile, with optional
     I/Q-imbalance apply and NCO mix postamble (saving two full HBM round
     trips of the chain's pre-stage).
+
+    With ``wire_norm`` set, the input is ONE packed int32 cs16 wire block
+    (I in the low 16 bits) de-interleaved and normalized in-register —
+    the format conversion's separate read+write of both planes never
+    touches HBM at all (sample_convert.c -> pre_processor.c fusion).
 
     y[n] = a*y[n-1] + x[n] - x[n-1] with closed-form in-subtile prefixes
     via ONE triangular matmul (m_ref: M[i,j] = a^(i-j)), a statically
@@ -342,10 +347,19 @@ def _dc_kernel(xr_ref, xi_ref, st_ref, m_ref, d_ref, *rest,
     scratch carrying (x_prev, y_prev) per plane across grid cells (the
     TPU grid iterates the time dimension innermost, so scratch state
     flows in stream order; cell 0 loads the stream carry from st_ref)."""
-    rest = list(rest)
-    iqf_ref = rest.pop(0) if with_iq else None
-    ph_ref = rest.pop(0) if dtheta else None
-    outr_ref, outi_ref, stout_ref, carry, ybuf_r, ybuf_i = rest
+    refs = list(refs)
+    if wire_norm:
+        wire_ref = refs.pop(0)
+        xr_ref = xi_ref = None
+    else:
+        xr_ref = refs.pop(0)
+        xi_ref = refs.pop(0)
+    st_ref = refs.pop(0)
+    m_ref = refs.pop(0)
+    d_ref = refs.pop(0)
+    iqf_ref = refs.pop(0) if with_iq else None
+    ph_ref = refs.pop(0) if dtheta else None
+    outr_ref, outi_ref, stout_ref, carry, ybuf_r, ybuf_i = refs
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -358,8 +372,19 @@ def _dc_kernel(xr_ref, xi_ref, st_ref, m_ref, d_ref, *rest,
     lane0 = jax.lax.broadcasted_iota(jnp.int32, (cb, cell), 1) == 0
     af = jnp.float32(a)
 
-    def plane(x_ref, ybuf, pidx):
-        x = x_ref[...]
+    if wire_norm:
+        v = wire_ref[...]
+        # sign-extend low/high halves; (x * norm) * gain matches
+        # convert.to_planar's f32 operation order exactly
+        xr_val = (((v << 16) >> 16).astype(jnp.float32)
+                  * jnp.float32(wire_norm)) * jnp.float32(wire_gain)
+        xi_val = ((v >> 16).astype(jnp.float32)
+                  * jnp.float32(wire_norm)) * jnp.float32(wire_gain)
+    else:
+        xr_val = xr_ref[...]
+        xi_val = xi_ref[...]
+
+    def plane(x, ybuf, pidx):
         x_prev = carry[:, pidx:pidx + 1]
         y_prev = carry[:, pidx + 2:pidx + 3]
         xm1 = pltpu.roll(x, 1, axis=1)
@@ -385,8 +410,8 @@ def _dc_kernel(xr_ref, xi_ref, st_ref, m_ref, d_ref, *rest,
             yp = seg[:, t - 1:t]
         return ybuf[...], x[:, cell - 1:cell], yp
 
-    yr, xr_l, yr_l = plane(xr_ref, ybuf_r, 0)
-    yi, xi_l, yi_l = plane(xi_ref, ybuf_i, 1)
+    yr, xr_l, yr_l = plane(xr_val, ybuf_r, 0)
+    yi, xi_l, yi_l = plane(xi_val, ybuf_i, 1)
     carry[:, 0:1] = xr_l
     carry[:, 1:2] = xi_l
     carry[:, 2:3] = yr_l
@@ -438,15 +463,19 @@ def dc_geometry(ch: int, n: int):
 
 def dc_block_apply(xr: jnp.ndarray, xi: jnp.ndarray, state: jnp.ndarray,
                    alpha: float, iq_factors=None, phase_acc=None,
-                   dtheta: int = 0, interpret: bool = False):
+                   dtheta: int = 0, interpret: bool = False,
+                   wire_i32: jnp.ndarray | None = None,
+                   wire_norm: float = 0.0, wire_gain: float = 1.0):
     """Planar DC blocker with optional fused I/Q apply + NCO mix.
 
     x*: (C, N); state: (C, 4) f32 rows [xr_prev, xi_prev, yr_prev,
     yi_prev]; iq_factors: (C, 2) f32 [gain, phase] or None; phase_acc:
-    (C, 1) uint32 (required when dtheta != 0).  Returns
-    (yr, yi, new_state).  Returns None when the geometry cannot lower
-    (caller falls back)."""
-    ch, n = xr.shape
+    (C, 1) uint32 (required when dtheta != 0).  With ``wire_i32`` (and
+    wire_norm/wire_gain), the input is instead the packed int32 cs16
+    wire (I low, Q high) and format conversion happens in-register —
+    xr/xi may then be None.  Returns (yr, yi, new_state).  Returns None
+    when the geometry cannot lower (caller falls back)."""
+    ch, n = (wire_i32 if wire_i32 is not None else xr).shape
     a = float(1.0 - alpha)
     t = 128
     geo = dc_geometry(ch, n)
@@ -465,11 +494,20 @@ def dc_block_apply(xr: jnp.ndarray, xi: jnp.ndarray, state: jnp.ndarray,
     dtheta = int(dtheta) & 0xFFFFFFFF
     grid = (ch // cb, n // cell)
     kern = functools.partial(_dc_kernel, cb=cb, cell=cell, t=t, a=a,
-                             with_iq=with_iq, dtheta=dtheta)
+                             with_iq=with_iq, dtheta=dtheta,
+                             wire_norm=(float(wire_norm)
+                                        if wire_i32 is not None else 0.0),
+                             wire_gain=float(wire_gain))
     x_spec = pl.BlockSpec((cb, cell), lambda c, i: (c, i),
                           memory_space=pltpu.VMEM)
     st_spec = pl.BlockSpec((cb, 4), lambda c, i: (c, 0),
                            memory_space=pltpu.VMEM)
+    if wire_i32 is not None:
+        x_in = [wire_i32]
+        x_in_specs = [x_spec]
+    else:
+        x_in = [xr, xi]
+        x_in_specs = [x_spec, x_spec]
     extra_in = []
     extra_specs = []
     if with_iq:
@@ -483,7 +521,7 @@ def dc_block_apply(xr: jnp.ndarray, xi: jnp.ndarray, state: jnp.ndarray,
     yr, yi, st = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[x_spec, x_spec, st_spec,
+        in_specs=[*x_in_specs, st_spec,
                   pl.BlockSpec((t, t), lambda c, i: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, t), lambda c, i: (0, 0),
@@ -503,7 +541,7 @@ def dc_block_apply(xr: jnp.ndarray, xi: jnp.ndarray, state: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(xr, xi, state, jnp.asarray(m_t), jnp.asarray(d_vec), *extra_in)
+    )(*x_in, state, jnp.asarray(m_t), jnp.asarray(d_vec), *extra_in)
     return yr, yi, st
 
 
@@ -689,3 +727,118 @@ def osfft_apply(ext_r: jnp.ndarray, ext_i: jnp.ndarray, h: tuple,
         interpret=interpret,
     )(*[v[0] for v in views], *[v[1] for v in views], *mats)
     return yr, yi
+
+
+# --------------------------- fused post-stage kernel ---------------------------
+
+def _post_kernel(xr_ref, xi_ref, g_ref, *rest, cb, cell, seg_m, dtheta):
+    """Post-NCO + AGC gain apply + cs16 quantize/interleave over one
+    (cb, cell) tile: replaces three separate XLA passes over the output-
+    rate planes (mix, gain multiply, convert) with ONE HBM round trip.
+
+    Output is int32 with the I code in the low 16 bits and Q in the high
+    16 — bit-identical to the interleaved little-endian cs16 wire, so the
+    caller just bitcasts (post_processor.c:38-68 + sample_convert.c
+    round-half-away/clamp contract)."""
+    ph_ref = rest[0] if dtheta else None
+    out_ref = rest[-1]
+    i = pl.program_id(1)
+    yr = xr_ref[...]
+    yi = xi_ref[...]
+    if dtheta:
+        # NCO mix at the global sample index (same idiom as _dc_kernel:
+        # wrapping int32 == uint32 mod 2^32; Mosaic can't cast uint32)
+        idx = (jax.lax.broadcasted_iota(jnp.int32, (cb, cell), 1)
+               + jnp.int32(i) * jnp.int32(cell))
+        ph0 = pltpu.bitcast(ph_ref[...], jnp.int32)
+        dth_i32 = jnp.int32(np.int64(dtheta) - (1 << 32)
+                            if dtheta >= (1 << 31) else dtheta)
+        phases = ph0 + idx * dth_i32
+        ang = phases.astype(jnp.float32) * jnp.float32(
+            2.0 * np.pi / 4294967296.0)
+        c_, s_ = jnp.cos(ang), jnp.sin(ang)
+        yr, yi = yr * c_ - yi * s_, yr * s_ + yi * c_
+    if seg_m:
+        # per-128-sample segment gains: expand (cb, seg_m) across lanes
+        g3 = g_ref[...][:, :, None]                      # (cb, seg_m, 1)
+        yr = (yr.reshape(cb, seg_m, _LANES) * g3).reshape(cb, cell)
+        yi = (yi.reshape(cb, seg_m, _LANES) * g3).reshape(cb, cell)
+    else:
+        g = g_ref[:, 0:1]
+        yr = yr * g
+        yi = yi * g
+
+    def quant(v):
+        # sample_convert.c signed contract: scale TYPE_MAX (32767),
+        # round half away from zero, clamp [TYPE_MIN, TYPE_MAX]
+        v = v * jnp.float32(32767.0)
+        v = jnp.trunc(jnp.where(v > 0, v + 0.5, v - 0.5))
+        v = jnp.clip(v, jnp.float32(-32768.0), jnp.float32(32767.0))
+        return v.astype(jnp.int32)
+
+    out_ref[...] = (quant(yr) & jnp.int32(0xFFFF)) | (quant(yi) << 16)
+
+
+def post_apply(xr: jnp.ndarray, xi: jnp.ndarray, gains: jnp.ndarray,
+               seg: int, phase_acc=None, dtheta: int = 0,
+               interpret: bool = False):
+    """Fused post stage for cs16 output.
+
+    x*: (C, N) f32 planes (post-filter); gains: (C, N//seg) f32 per-
+    segment AGC gains (seg == 128) or (C, 1) (seg == 0: one gain — the
+    digital profile / no AGC); phase_acc: (C, 1) uint32 when dtheta != 0.
+    Ragged N is handled by Pallas block masking; the gains array is
+    padded with its last column so the ragged tail uses the final scan
+    gain (the sequential chain's tail semantics, ops/agc.py).
+
+    Returns (C, N) int32 (packed interleaved cs16) or None when the
+    geometry cannot lower."""
+    ch, n = xr.shape
+    t = _LANES
+    if n < t or seg not in (0, t):
+        return None
+    cb = 8 if ch % 8 == 0 else ch
+    cell = min(32 * t, t * ((n + t - 1) // t))
+    seg_m = cell // t if seg else 0
+    if seg:
+        have = gains.shape[-1]
+        need = (n + t - 1) // t
+        if have < need:
+            gains = jnp.concatenate(
+                [gains, jnp.repeat(gains[:, -1:], need - have, axis=-1)],
+                axis=-1)
+    grid = (ch // cb, -(-n // cell))
+    x_spec = pl.BlockSpec((cb, cell), lambda c, i: (c, i),
+                          memory_space=pltpu.VMEM)
+    g_spec = (pl.BlockSpec((cb, seg_m), lambda c, i: (c, i),
+                           memory_space=pltpu.VMEM) if seg
+              else pl.BlockSpec((cb, 1), lambda c, i: (c, 0),
+                                memory_space=pltpu.VMEM))
+    in_specs = [x_spec, x_spec, g_spec]
+    args = [xr, xi, gains]
+    dtheta = int(dtheta) & 0xFFFFFFFF
+    if dtheta:
+        if phase_acc is None:
+            return None
+        in_specs.append(pl.BlockSpec((cb, 1), lambda c, i: (c, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(phase_acc)
+    out_spec = pl.BlockSpec((cb, cell), lambda c, i: (c, i),
+                            memory_space=pltpu.VMEM)
+    try:
+        return pl.pallas_call(
+            functools.partial(_post_kernel, cb=cb, cell=cell, seg_m=seg_m,
+                              dtheta=dtheta),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((ch, n), jnp.int32),
+            cost_estimate=pl.CostEstimate(
+                flops=10 * ch * n, transcendentals=2 * ch * n if dtheta else 0,
+                bytes_accessed=4 * ch * n * 3),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            interpret=interpret,
+        )(*args)
+    except Exception:
+        return None      # geometry/lowering decline -> caller falls back

@@ -38,6 +38,12 @@ from iq_tool_tpu.ops.fir_design import FilterRequest, design_chain, max_filter_f
 from iq_tool_tpu.ops.resample import Resampler, _MatmulStage
 
 
+# Tests run the fused pre/post-stage Pallas kernels in interpret mode on
+# CPU (real-Mosaic coverage is tools/tpu_smoke.py's job).
+_FUSED_PRE_INTERPRET = False
+_FUSED_POST_INTERPRET = False
+
+
 @dataclasses.dataclass(frozen=True)
 class ChainConfig:
     """User intent for one stream (the AppConfig analog, app_context.h:66-138)."""
@@ -255,35 +261,56 @@ class Chain:
 
     # ------------------------------ step --------------------------------------
 
-    def _fused_pre(self, xr, xi, carry: dict, new: dict):
-        """DC block + I/Q apply + pre-NCO as ONE Pallas kernel pass on TPU
-        (saves two full HBM round trips).  Returns (xr, xi) or None when
-        the kernel is unavailable (CPU, odd geometry) — caller falls back
-        to the separate ops.  The I/Q estimator taps the DC'd pre-apply
-        signal, so its IQ_FFT_SIZE-sample window is recomputed in XLA
-        (prefix of the same recurrence, negligible cost)."""
+    def _fused_pre(self, raw, carry: dict, new: dict):
+        """Format convert (cs16: in-register from the packed wire) +
+        DC block + I/Q apply + pre-NCO as ONE Pallas kernel pass on TPU.
+        Returns (xr, xi) or None when the kernel is unavailable (CPU,
+        odd geometry) — the caller then converts and falls back to the
+        separate ops.  The I/Q estimator taps the DC'd pre-apply signal,
+        so its IQ_FFT_SIZE-sample window is recomputed in XLA from a
+        converted PREFIX slice (same recurrence, negligible cost)."""
         from iq_tool_tpu.ops import banded, pallas_kernels
         cfg = self.cfg
-        if not banded._on_tpu():
+        if not (banded._on_tpu() or _FUSED_PRE_INTERPRET):
             return None
+        c = raw.shape[0]
+        items = self.fmt_in.items_per_frame
+        n = raw.shape[-1] // items
+        wire = None
+        if self.fmt_in.name == "cs16" and self.fmt_in.wire_dtype == np.int16:
+            # packed int32 view of the interleaved wire: the kernel
+            # de-interleaves and normalizes in-register, so the separate
+            # conversion pass never touches HBM
+            wire = jax.lax.bitcast_convert_type(
+                raw.reshape(c, n, 2), jnp.int32)
+        xr = xi = None
+        if wire is None:
+            xr, xi = convert.to_planar(raw, self.fmt_in, cfg.gain)
         st = carry["dc"]
         iqf = None
         if cfg.iq_correction:
-            m = min(xr.shape[-1], C.IQ_FFT_SIZE)
+            m = min(n, C.IQ_FFT_SIZE)
+            if wire is None:
+                pr, pi_ = xr[:, :m], xi[:, :m]
+            else:
+                pr, pi_ = convert.to_planar(raw[:, : m * items],
+                                            self.fmt_in, cfg.gain)
             seg_r, _, _ = dc_block._apply_plane(
-                xr[:, :m], st.xr_prev, st.yr_prev, self.dc_alpha)
+                pr, st.xr_prev, st.yr_prev, self.dc_alpha)
             seg_i, _, _ = dc_block._apply_plane(
-                xi[:, :m], st.xi_prev, st.yi_prev, self.dc_alpha)
+                pi_, st.xi_prev, st.yi_prev, self.dc_alpha)
             new["iq"] = iq_balance.maybe_update_planar(
                 seg_r, seg_i, carry["iq"], self.iq_interval,
-                advance_samples=xr.shape[-1])
+                advance_samples=n)
             iqf = new["iq"].factors
         dth = int(self.dtheta_pre)
         pacc = carry["nco_pre"][:, None] if dth else None
         st4 = jnp.stack([st.xr_prev, st.xi_prev,
                          st.yr_prev, st.yi_prev], axis=-1)
         res = pallas_kernels.dc_block_apply(
-            xr, xi, st4, self.dc_alpha, iqf, pacc, dth)
+            xr, xi, st4, self.dc_alpha, iqf, pacc, dth,
+            interpret=_FUSED_PRE_INTERPRET, wire_i32=wire,
+            wire_norm=self.fmt_in.normalizer, wire_gain=cfg.gain)
         if res is None:
             if cfg.iq_correction:
                 del new["iq"]     # recomputed by the fallback path
@@ -293,9 +320,63 @@ class Chain:
             st4n[:, 0], st4n[:, 1], st4n[:, 2], st4n[:, 3])
         if dth:
             new["nco_pre"] = (carry["nco_pre"]
-                              + jnp.uint32(xr.shape[-1])
+                              + jnp.uint32(n)
                               * jnp.uint32(dth))
         return yr, yi
+
+    def _fused_post(self, xr, xi, carry: dict, new: dict):
+        """Post-NCO + AGC apply + cs16 quantize/interleave as ONE Pallas
+        pass (post_processor.c:38-68 order), replacing three XLA passes
+        over the output-rate planes.  The AGC gain scan itself stays in
+        XLA (tiny); block energies are rotation-invariant so they are
+        measured pre-NCO.  Returns the wire array or None (caller runs
+        the separate ops)."""
+        from iq_tool_tpu.ops import banded, pallas_kernels
+        if self.fmt_out.name != "cs16":
+            return None
+        if not (banded._on_tpu() or _FUSED_POST_INTERPRET):
+            return None
+        dth = int(self.dtheta_post)
+        cfg_agc = self.agc_cfg
+        if not dth and cfg_agc is None:
+            return None            # only the convert would remain: no win
+        c, n = xr.shape
+        seg = 0
+        new_agc = None
+        if cfg_agc is not None and cfg_agc.profile != "digital":
+            n_seg, sl, beta = agc_ops.rms_params(cfg_agc, n)
+            if sl != C.AGC_SEGMENT:
+                return None        # tiny blocks: odd segment width
+            xsr = xr[:, : n_seg * sl].reshape(c, n_seg, sl)
+            xsi = xi[:, : n_seg * sl].reshape(c, n_seg, sl)
+            e_in = jnp.mean(xsr * xsr + xsi * xsi, axis=-1).T
+            st = carry["agc"]
+            gains_t, g_fin, e2_fin = agc_ops.rms_scan(
+                e_in, st.gain, st.e2, beta, cfg_agc.target)
+            gains = gains_t.T                        # (C, n_seg)
+            seg = sl
+            new_agc = st._replace(
+                gain=g_fin, e2=e2_fin,
+                samples_seen=st.samples_seen + jnp.uint32(n))
+        elif cfg_agc is not None:
+            pk = jnp.sqrt(jnp.max(xr * xr + xi * xi, axis=-1))
+            gain_out, new_agc = agc_ops.digital_update(carry["agc"], pk,
+                                                       n, cfg_agc)
+            gains = gain_out[:, None]
+        else:
+            gains = jnp.ones((c, 1), jnp.float32)
+        pacc = carry["nco_post"][:, None] if dth else None
+        res = pallas_kernels.post_apply(xr, xi, gains, seg, pacc, dth,
+                                        interpret=_FUSED_POST_INTERPRET)
+        if res is None:
+            return None
+        if new_agc is not None:
+            new["agc"] = new_agc
+        if dth:
+            new["nco_post"] = (carry["nco_post"]
+                               + jnp.uint32(n) * jnp.uint32(dth))
+        wire = jax.lax.bitcast_convert_type(res, jnp.int16)
+        return wire.reshape(c, 2 * n)
 
     def _step(self, carry: dict, raw: jnp.ndarray, reset: jnp.ndarray):
         """raw: (C, n_in * items) wire array -> (carry, (C, n_out * items)).
@@ -307,12 +388,12 @@ class Chain:
         carry = jax.lax.cond(reset, self._reset_carry, lambda c: c, carry)
         new = dict(carry)
 
-        xr, xi = convert.to_planar(raw, self.fmt_in, cfg.gain)
-        fused = (self._fused_pre(xr, xi, carry, new)
+        fused = (self._fused_pre(raw, carry, new)
                  if cfg.dc_block else None)
         if fused is not None:
             xr, xi = fused
         else:
+            xr, xi = convert.to_planar(raw, self.fmt_in, cfg.gain)
             if cfg.dc_block:
                 xr, xi, new["dc"] = dc_block.apply_planar(
                     xr, xi, carry["dc"], self.dc_alpha)
@@ -334,6 +415,9 @@ class Chain:
             xr, xi, nr, ni = self.post_filter.apply_planar(
                 xr, xi, *carry["post_f"])
             new["post_f"] = (nr, ni)
+        fused_out = self._fused_post(xr, xi, carry, new)
+        if fused_out is not None:
+            return new, fused_out
         if int(self.dtheta_post) != 0:
             xr, xi, new["nco_post"] = nco.apply_planar(
                 xr, xi, carry["nco_post"], self.dtheta_post)

@@ -171,13 +171,16 @@ class FoldedChain:
 
     # ------------------------------------------------------------------ step
 
-    def _fused_pre_folded(self, xr, xi, x_prev_r, x_prev_i, carry, new):
-        """DC + IQ-apply + pre-NCO as one Pallas pass over (R, n_sub) rows
-        (full 8-sublane occupancy — the point of folding).  Runs the exact
+    def _fused_pre_folded(self, raw_rows, carry, new):
+        """Format convert (cs16: in-register from the packed wire) + DC +
+        IQ-apply + pre-NCO as one Pallas pass over (R, n_sub) rows (full
+        8-sublane occupancy — the point of folding).  Runs the exact
         recurrence from ZERO y-state; the omitted start * a^(k+1) term is
         linear through IQ and the rotation, added afterwards (same design
-        as the sharded fused pre-stage)."""
-        from iq_tool_tpu.ops import banded, pallas_kernels
+        as the sharded fused pre-stage).  Takes the RAW wire rows; the
+        small slices the stitching needs (per-row last samples, the IQ
+        estimator prefix) are converted in XLA."""
+        from iq_tool_tpu.ops import banded, convert, pallas_kernels
         lc = self.local
         cfg = lc.cfg
         if not (banded._on_tpu() or _FUSED_INTERPRET):
@@ -185,18 +188,37 @@ class FoldedChain:
         if pallas_kernels.dc_geometry(self.rows, lc.n_in) is None:
             return None
         n = lc.n_in
+        items = lc.fmt_in.items_per_frame
         a_real = 1.0 - lc.dc_alpha
         apow = np.power(a_real, np.arange(1, n + 1),
                         dtype=np.float64).astype(np.float32)
         a_l = jnp.float32(a_real ** n)
+
+        wire = None
+        xr = xi = None
+        if lc.fmt_in.name == "cs16" and lc.fmt_in.wire_dtype == np.int16:
+            wire = jax.lax.bitcast_convert_type(
+                raw_rows.reshape(self.rows, n, 2), jnp.int32)
+        else:
+            xr, xi = convert.to_planar(raw_rows, lc.fmt_in, cfg.gain)
+
+        def slice_planes(sl_rows):
+            """Convert a (R-row, item-sliced) view of the raw wire."""
+            return convert.to_planar(sl_rows, lc.fmt_in, cfg.gain)
+
+        # per-row LAST input sample -> shifted x_prev per row + dc carry
+        lr, li = slice_planes(raw_rows[:, -items:])
+        xpr, cxr = self._shift_rows(lr, carry["dc"].xr_prev[:, None])
+        xpi, cxi = self._shift_rows(li, carry["dc"].xi_prev[:, None])
 
         iqf = None
         if cfg.iq_correction:
             # estimator window: row 0's first IQ_FFT_SIZE DC'd samples —
             # row 0's start IS the carry, so this is exact
             nf = C.IQ_FFT_SIZE
-            xr0 = xr.reshape(self.channels, self.fold, n)[:, 0, :nf]
-            xi0 = xi.reshape(self.channels, self.fold, n)[:, 0, :nf]
+            row0 = raw_rows.reshape(self.channels, self.fold,
+                                    n * items)[:, 0, :nf * items]
+            xr0, xi0 = slice_planes(row0)
             st = carry["dc"]
             seg_r, _, _ = dc_block._apply_plane(xr0, st.xr_prev, st.yr_prev,
                                                 lc.dc_alpha)
@@ -211,14 +233,15 @@ class FoldedChain:
         phase = None
         if dth:
             phase = self._row_phases(carry["nco_pre"], n, dth)
-        st4 = jnp.stack([x_prev_r, x_prev_i,
-                         jnp.zeros_like(x_prev_r),
-                         jnp.zeros_like(x_prev_i)], axis=-1)
+        st4 = jnp.stack([xpr[:, 0], xpi[:, 0],
+                         jnp.zeros_like(xpr[:, 0]),
+                         jnp.zeros_like(xpi[:, 0])], axis=-1)
         res = pallas_kernels.dc_block_apply(
             xr, xi, st4,
             lc.dc_alpha, self._rep(iqf) if iqf is not None else None,
             phase[:, None] if phase is not None else None, dth,
-            interpret=_FUSED_INTERPRET)
+            interpret=_FUSED_INTERPRET, wire_i32=wire,
+            wire_norm=lc.fmt_in.normalizer, wire_gain=cfg.gain)
         if res is None:
             if cfg.iq_correction:
                 del new["iq"]
@@ -239,9 +262,7 @@ class FoldedChain:
                               * jnp.uint32(dth))
         yr = yr + dr
         yi = yi + di
-        xl = xr.reshape(self.channels, self.fold, n)[:, -1, -1]
-        xli = xi.reshape(self.channels, self.fold, n)[:, -1, -1]
-        new["dc"] = dc_block.PlanarDcState(xl, xli, cyr, cyi)
+        new["dc"] = dc_block.PlanarDcState(cxr[:, 0], cxi[:, 0], cyr, cyi)
         return yr, yi
 
     def _dc_folded_plane(self, x, x_prev_use, carry_y, alpha):
@@ -256,14 +277,16 @@ class FoldedChain:
                         dtype=np.float64).astype(np.float32)
         return y0 + starts[:, None] * apow[None, :], new_carry
 
-    def _agc_folded(self, xr, xi, state, cfg):
+    def _agc_folded_gains(self, xr, xi, state, cfg):
+        """(gains (R, n_seg) or (R, 1), seg, new_state): the per-row gain
+        schedule with the gain scan run over the global (cross-row) time
+        order — shared by the XLA apply and the fused post kernel."""
         if cfg.profile == "digital":
             pk = jnp.sqrt(jnp.max((xr * xr + xi * xi)
                                   .reshape(self.channels, -1), axis=-1))
             gain, new_state = agc_ops.digital_update(
                 state, pk, self.n_out, cfg)
-            g = self._rep(gain)[:, None]
-            return xr * g, xi * g, new_state
+            return self._rep(gain)[:, None], 0, new_state
         n = xr.shape[-1]
         n_seg, seg, beta = agc_ops.rms_params(cfg, n)
         xsr = xr[:, : n_seg * seg].reshape(self.rows, n_seg, seg)
@@ -274,17 +297,70 @@ class FoldedChain:
                  .T)                                            # (F*n_seg, C)
         gains, g_fin, e2_fin = agc_ops.rms_scan(
             e_seq, state.gain, state.e2, beta, cfg.target)
-        g_rows = gains.T.reshape(self.rows, n_seg)[:, :, None]
+        g_rows = gains.T.reshape(self.rows, n_seg)
+        new_state = state._replace(
+            gain=g_fin, e2=e2_fin,
+            samples_seen=state.samples_seen + jnp.uint32(self.n_out))
+        return g_rows, seg, new_state
+
+    def _agc_folded(self, xr, xi, state, cfg):
+        gains, seg, new_state = self._agc_folded_gains(xr, xi, state, cfg)
+        if seg == 0:
+            g = gains
+            return xr * g, xi * g, new_state
+        n = xr.shape[-1]
+        n_seg = gains.shape[-1]
+        g_rows = gains[:, :, None]
+        xsr = xr[:, : n_seg * seg].reshape(self.rows, n_seg, seg)
+        xsi = xi[:, : n_seg * seg].reshape(self.rows, n_seg, seg)
         yr = (xsr * g_rows).reshape(self.rows, n_seg * seg)
         yi = (xsi * g_rows).reshape(self.rows, n_seg * seg)
         if n_seg * seg < n:
             g_last = g_rows[:, -1]
             yr = jnp.concatenate([yr, xr[:, n_seg * seg:] * g_last], -1)
             yi = jnp.concatenate([yi, xi[:, n_seg * seg:] * g_last], -1)
-        new_state = state._replace(
-            gain=g_fin, e2=e2_fin,
-            samples_seen=state.samples_seen + jnp.uint32(self.n_out))
         return yr, yi, new_state
+
+    def _fused_post_folded(self, xr, xi, carry, new):
+        """Fused post-NCO + AGC apply + cs16 quantize over the (R, n_sub)
+        rows (see Chain._fused_post); per-row NCO phases are the exact
+        closed-form offsets."""
+        from iq_tool_tpu.ops import banded, pallas_kernels
+        from iq_tool_tpu.pipeline import chain as chain_mod
+        lc = self.local
+        if lc.fmt_out.name != "cs16":
+            return None
+        interp = _FUSED_INTERPRET or chain_mod._FUSED_POST_INTERPRET
+        if not (banded._on_tpu() or interp):
+            return None
+        dth = int(lc.dtheta_post)
+        cfg_agc = lc.agc_cfg
+        if not dth and cfg_agc is None:
+            return None
+        n = xr.shape[-1]
+        new_agc = None
+        if cfg_agc is not None:
+            if (cfg_agc.profile != "digital"
+                    and agc_ops.rms_params(cfg_agc, n)[1] != C.AGC_SEGMENT):
+                return None
+            gains, seg, new_agc = self._agc_folded_gains(
+                xr, xi, carry["agc"], cfg_agc)
+        else:
+            gains, seg = jnp.ones((self.rows, 1), jnp.float32), 0
+        pacc = (self._row_phases(carry["nco_post"], lc.n_out,
+                                 lc.dtheta_post)[:, None] if dth else None)
+        res = pallas_kernels.post_apply(xr, xi, gains, seg, pacc, dth,
+                                        interpret=interp)
+        if res is None:
+            return None
+        if new_agc is not None:
+            new["agc"] = new_agc
+        if dth:
+            new["nco_post"] = (carry["nco_post"]
+                               + jnp.uint32(self.n_out & 0xFFFFFFFF)
+                               * lc.dtheta_post)
+        wire = jax.lax.bitcast_convert_type(res, jnp.int16)
+        return wire.reshape(self.rows, 2 * n)
 
     def _step(self, carry: dict, raw: jnp.ndarray, reset: jnp.ndarray):
         lc = self.local
@@ -292,18 +368,21 @@ class FoldedChain:
         carry = jax.lax.cond(reset, lc._reset_carry, lambda c: c, carry)
         new = dict(carry)
 
-        xr, xi = convert.to_planar(self._rows(raw), self.fmt_in, cfg.gain)
+        raw_rows = self._rows(raw)
         n = lc.n_in
 
         fused = None
         if cfg.dc_block:
-            xpr, cxr = self._shift_rows(xr[:, -1:], carry["dc"].xr_prev[:, None])
-            xpi, cxi = self._shift_rows(xi[:, -1:], carry["dc"].xi_prev[:, None])
-            fused = self._fused_pre_folded(xr, xi, xpr[:, 0], xpi[:, 0],
-                                           carry, new)
-            if fused is not None:
-                xr, xi = fused
-            else:
+            fused = self._fused_pre_folded(raw_rows, carry, new)
+        if fused is not None:
+            xr, xi = fused
+        else:
+            xr, xi = convert.to_planar(raw_rows, self.fmt_in, cfg.gain)
+            if cfg.dc_block:
+                xpr, cxr = self._shift_rows(xr[:, -1:],
+                                            carry["dc"].xr_prev[:, None])
+                xpi, cxi = self._shift_rows(xi[:, -1:],
+                                            carry["dc"].xi_prev[:, None])
                 yr, cyr = self._dc_folded_plane(xr, xpr[:, 0],
                                                 carry["dc"].yr_prev,
                                                 lc.dc_alpha)
@@ -350,6 +429,9 @@ class FoldedChain:
             ui, ci = self._shift_rows(xi[:, -b:], carry["post_f"][1])
             xr, xi, _, _ = lc.post_filter.apply_planar(xr, xi, ur, ui)
             new["post_f"] = (cr, ci)
+        fused_out = self._fused_post_folded(xr, xi, carry, new)
+        if fused_out is not None:
+            return new, self._unrows(fused_out)
         if int(lc.dtheta_post) != 0:
             phase = self._row_phases(carry["nco_post"], lc.n_out,
                                      lc.dtheta_post)

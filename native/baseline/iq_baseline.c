@@ -356,9 +356,17 @@ int main(int argc, char **argv) {
     if (tone_spec && strncmp(tone_spec, "agc:", 4) == 0)
         return run_agc_golden(n, tone_spec + 4);
     double tone_hz = 0.0, tone_hz_b = 0.0;
-    int two_tone = 0;
+    int two_tone = 0, cu8_input = 0;
     const char *tone_out = NULL;
     char tone_buf[256];
+    /* "cu8tone:<hz>:<outfile>": BASELINE config #3's shape — cu8 input
+     * ((x-127.5)/128 normalizer, sample_convert.c:135-146) through the
+     * same dc+resample+lowpass chain (the 0-centered pass-range is a
+     * symmetric real low-pass) */
+    if (tone_spec && strncmp(tone_spec, "cu8tone:", 8) == 0) {
+        cu8_input = 1;
+        tone_spec += 3;                   /* -> "tone:..." parse below */
+    }
     if (tone_spec && strncmp(tone_spec, "tone:", 5) == 0) {
         strncpy(tone_buf, tone_spec + 5, sizeof(tone_buf) - 1);
         tone_buf[sizeof(tone_buf) - 1] = 0;
@@ -390,8 +398,13 @@ int main(int argc, char **argv) {
                 ci = 0.25 * cos(pa) + 0.25 * cos(pb);
                 cq = 0.25 * sin(pa) + 0.25 * sin(pb);
             }
-            raw[2 * i] = (int16_t)lround(32767.0 * ci);
-            raw[2 * i + 1] = (int16_t)lround(32767.0 * cq);
+            if (cu8_input) {
+                raw[2 * i] = (int16_t)lround(127.5 + 127.0 * ci);
+                raw[2 * i + 1] = (int16_t)lround(127.5 + 127.0 * cq);
+            } else {
+                raw[2 * i] = (int16_t)lround(32767.0 * ci);
+                raw[2 * i + 1] = (int16_t)lround(32767.0 * cq);
+            }
         }
         run_for = 0.0;                       /* single pass */
     } else {
@@ -424,8 +437,14 @@ int main(int argc, char **argv) {
         float oi = 1.f, oq = 0.f;        /* NCO phasor */
         float *vi = xi + K_TAPS - 1, *vq = xq + K_TAPS - 1;
         for (long i = 0; i < n; i++) {
-            float ci = raw[2 * i] * (1.0f / 32768.0f);
-            float cq = raw[2 * i + 1] * (1.0f / 32768.0f);
+            float ci, cq;
+            if (cu8_input) {               /* (x - 127.5) / 128 */
+                ci = (raw[2 * i] - 127.5f) * (1.0f / 128.0f);
+                cq = (raw[2 * i + 1] - 127.5f) * (1.0f / 128.0f);
+            } else {
+                ci = raw[2 * i] * (1.0f / 32768.0f);
+                cq = raw[2 * i + 1] * (1.0f / 32768.0f);
+            }
             /* DC IIR y = x - x1 + a*y1 */
             float wi = ci - pi_ + a * di;
             float wq = cq - pq_ + a * dq;

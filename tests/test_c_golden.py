@@ -301,3 +301,56 @@ def test_agc_digital_state_machine_vs_c(c_binary, tmp_path):
     assert np.all(np.diff(tail) > 0)                   # creeping up
     np.testing.assert_allclose(np.diff(np.log(tail)),
                                np.log(C.AGC_DIGITAL_CREEP), rtol=0.05)
+
+
+def test_cu8_chain_matches_c_binary(c_binary, tmp_path):
+    """BASELINE config #3's shape vs the C oracle: cu8 input
+    ((x-127.5)/128, sample_convert.c:135-146) -> DC -> shift -100 kHz ->
+    resample -> 400 kHz low-pass -> cs16, with the repo side running the
+    filter through the fft method (the DFT/overlap-save engine family)."""
+    c_out_path = str(tmp_path / "c_cu8.raw")
+    r = subprocess.run(
+        [c_binary, str(N_IN), "1", "0", f"cu8tone:{TONE_HZ:.0f}:{c_out_path}"],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[:300]
+    c_y = _to_c64(np.fromfile(c_out_path, np.int16))
+
+    cfg = ChainConfig(
+        input_format="cu8", output_format="cs16",
+        input_rate=RATE_IN, target_rate=RATE_OUT,
+        dc_block=True, freq_shift_pre_hz=SHIFT_HZ,
+        filters=(FilterRequest("pass-range", 0.0, 800_000.0),),
+        filter_method="fft")
+    ch = Chain(cfg)
+    # bit-identical to the C generator: lround(127.5 + 127*cos)
+    i = np.arange(N_IN, dtype=np.float64)
+    ph = 2.0 * np.pi * TONE_HZ * i / RATE_IN
+
+    def q(v):
+        return np.trunc(v + np.copysign(0.5, v)).astype(np.uint8)
+
+    raw = np.empty(2 * N_IN, np.uint8)
+    raw[0::2] = q(127.5 + 127.0 * 0.5 * np.cos(ph))   # 0.5 amplitude
+    raw[1::2] = q(127.5 + 127.0 * 0.5 * np.sin(ph))
+    blocks = -(-N_IN // ch.n_in)
+    pad = blocks * ch.n_in - N_IN
+    wire = np.concatenate([raw, np.zeros(2 * pad, np.uint8)])
+    carry = ch.init_carry()
+    outs = []
+    for b in range(blocks):
+        w = wire[b * 2 * ch.n_in:(b + 1) * 2 * ch.n_in]
+        carry, out = ch.step(carry, w[None, :], np.False_)
+        outs.append(np.asarray(out)[0])
+    t_y = _to_c64(np.concatenate(outs))[: len(c_y)]
+
+    skip = 4000
+    c_body = c_y[skip:len(c_y) - skip]
+    t_body = t_y[skip:len(t_y) - skip]
+    f_expect = TONE_HZ + SHIFT_HZ
+    for name, body in (("C", c_body), ("tpu", t_body)):
+        peak_hz, amp, snr = _tone_metrics(body)
+        df = RATE_OUT / len(body)
+        assert abs(peak_hz - f_expect) < 4 * df, (name, peak_hz)
+        assert abs(20 * np.log10(amp / 0.496)) < 0.5, (name, amp)
+        # 8-bit source: quantization-floor limited, not the 60 dB design
+        assert snr > 43.0, (name, snr)

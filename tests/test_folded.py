@@ -248,3 +248,20 @@ def test_checkpoint_interchange_folded_unfolded(tmp_path, rng):
     d = np.abs(a.astype(np.int32) - b.astype(np.int32))
     # folded vs unfolded: batching re-association + DC IIR association
     assert d.max() <= 32 and (d != 0).mean() < 0.01
+
+
+def test_folded_fused_post_interpret(rng, monkeypatch):
+    """The fused post kernel on the folded path (interpret) vs the XLA
+    folded path: per-row NCO phases + cross-row AGC gain schedule."""
+    from iq_tool_tpu.pipeline import chain as chain_mod
+
+    cfg = _cfg(dc=False)          # post NCO -25 kHz + local AGC in _cfg
+    fc_x = FoldedChain(cfg, fold=8)
+    raws = _raws(2, fc_x, rng)
+    want = _run_folded(fc_x, raws)
+    monkeypatch.setattr(chain_mod, "_FUSED_POST_INTERPRET", True)
+    fc_k = FoldedChain(cfg, fold=8)
+    got = _run_folded(fc_k, raws)
+    diff = got.astype(np.int32) - want.astype(np.int32)
+    assert np.abs(diff).max() <= 1, np.abs(diff).max()
+    assert (diff != 0).mean() < 2e-3, (diff != 0).mean()

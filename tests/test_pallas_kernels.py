@@ -5,6 +5,8 @@ compiles via Mosaic.  Tolerances reflect the kernels' 3-term bf16 matmul
 scheme (~4e-5 relative, ~88 dB — see ops/pallas_kernels.py), not f32.
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -142,3 +144,177 @@ def test_dc_fused_iq_nco_postamble(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(yi), np.asarray(ri),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("n,dtheta,profile", [
+    (11907, 123456789, "local"),     # ragged CLI framing + NCO + rms AGC
+    (95256, 0, "local"),             # grown framing, gains only
+    (16384, 987654321, None),        # aligned, NCO only
+    (12000, 55555, "digital"),       # single-gain path
+])
+def test_post_apply_matches_xla_chain(rng, n, dtheta, profile):
+    """The fused post kernel (interpret) against the separate XLA ops:
+    NCO mix -> gain apply -> cs16 quantize/interleave.  Gains/phases are
+    shared, so outputs must agree to the last code except where the
+    kernel's own f32 op ordering moves a value across a rounding
+    boundary (+-1 code on a tiny fraction)."""
+    from iq_tool_tpu import constants as C
+    from iq_tool_tpu.ops import agc as agc_ops
+    from iq_tool_tpu.ops import convert, nco, pallas_kernels
+
+    ch = 8
+    xr = rng.standard_normal((ch, n)).astype(np.float32) * 0.4
+    xi = rng.standard_normal((ch, n)).astype(np.float32) * 0.4
+    if profile == "local":
+        cfg = agc_ops.AgcConfig.make("local", 1_488_375.0)
+        n_seg, sl, beta = agc_ops.rms_params(cfg, n)
+        assert sl == C.AGC_SEGMENT
+        e_in = (xr[:, :n_seg * sl].reshape(ch, n_seg, sl) ** 2
+                + xi[:, :n_seg * sl].reshape(ch, n_seg, sl) ** 2
+                ).mean(-1).T
+        gains_t, g_fin, _ = agc_ops.rms_scan(
+            jnp.asarray(e_in), jnp.ones((ch,), jnp.float32),
+            jnp.zeros((ch,), jnp.float32), beta, cfg.target)
+        gains = np.asarray(gains_t).T
+        seg = sl
+    elif profile == "digital":
+        gains = rng.uniform(0.5, 2.0, (ch, 1)).astype(np.float32)
+        seg = 0
+    else:
+        gains = np.ones((ch, 1), np.float32)
+        seg = 0
+    pacc = rng.integers(0, 2 ** 32, (ch, 1), dtype=np.uint32) \
+        if dtheta else None
+
+    got_i32 = pallas_kernels.post_apply(
+        jnp.asarray(xr), jnp.asarray(xi), jnp.asarray(gains), seg,
+        jnp.asarray(pacc) if pacc is not None else None, dtheta,
+        interpret=True)
+    assert got_i32 is not None
+    got = np.asarray(jax.lax.bitcast_convert_type(got_i32, jnp.int16)
+                     ).reshape(ch, 2 * n)
+
+    # XLA reference with the same gains/phases
+    yr, yi = jnp.asarray(xr), jnp.asarray(xi)
+    if dtheta:
+        yr, yi, _ = nco.apply_planar(yr, yi, jnp.asarray(pacc[:, 0]),
+                                     np.uint32(dtheta))
+    if seg:
+        n_seg = gains.shape[-1]
+        g_full = np.repeat(gains, seg, axis=-1)
+        if g_full.shape[-1] < n:                      # ragged tail: g_fin
+            pad = np.repeat(gains[:, -1:], n - g_full.shape[-1], axis=-1)
+            g_full = np.concatenate([g_full, pad], axis=-1)
+        yr = yr * g_full
+        yi = yi * g_full
+    else:
+        yr = yr * gains
+        yi = yi * gains
+    want = np.asarray(convert.from_planar(yr, yi, "cs16"))
+
+    diff = got.astype(np.int32) - want.astype(np.int32)
+    assert np.abs(diff).max() <= 1, np.abs(diff).max()
+    assert (diff != 0).mean() < 2e-3, (diff != 0).mean()
+
+
+def test_fused_post_chain_parity(rng, monkeypatch):
+    """Whole-chain parity: _fused_post (interpret) vs the separate-op
+    chain across carried blocks (gain scan state, NCO phase carry)."""
+    from iq_tool_tpu.ops.fir_design import FilterRequest
+    from iq_tool_tpu.pipeline import chain as chain_mod
+    from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+
+    cfg = ChainConfig(input_format="cs16", output_format="cs16",
+                      input_rate=2_048_000.0, target_rate=1_488_375.0,
+                      freq_shift_post_hz=25_000.0, agc_profile="local",
+                      filters=[FilterRequest("lowpass", 400_000.0)],
+                      target_block=4096)
+    raws = [rng.integers(-2 ** 14, 2 ** 14, (1, Chain(cfg).in_wire_len))
+            .astype(np.int16) for _ in range(3)]
+
+    def run():
+        ch = Chain(cfg)
+        carry = ch.init_carry()
+        outs = []
+        for r in raws:
+            carry, o = ch.step(carry, r, np.False_)
+            outs.append(np.asarray(jax.device_get(o)))
+        return np.concatenate(outs, -1)
+
+    want = run()
+    monkeypatch.setattr(chain_mod, "_FUSED_POST_INTERPRET", True)
+    got = run()
+    diff = got.astype(np.int32) - want.astype(np.int32)
+    assert np.abs(diff).max() <= 1, np.abs(diff).max()
+    assert (diff != 0).mean() < 2e-3, (diff != 0).mean()
+
+
+@pytest.mark.parametrize("gain,exact", [(1.0, True), (1.7, False)])
+def test_dc_block_wire_input_matches_planar(rng, gain, exact):
+    """Wire mode (packed int32 cs16 de-interleaved in-register) against
+    the planar-input kernel fed by convert.to_planar.  At gain 1 the
+    conversion is exact (power-of-two normalizer), so outputs are
+    bitwise equal; with a gain, XLA may fold to_planar's two constant
+    multiplies into one, a 1-ulp input delta the IIR amplifies by its
+    ~1/sqrt(1-a^2t) condition — bounded, not bitwise."""
+    from iq_tool_tpu.ops import convert
+
+    ch, n = 8, 4096
+    raw = rng.integers(-2 ** 15, 2 ** 15, (ch, 2 * n)).astype(np.int16)
+    xr, xi = convert.to_planar(jnp.asarray(raw), "cs16", gain)
+    st = rng.standard_normal((ch, 4)).astype(np.float32)
+    alpha = 2 * np.pi * 10.0 / 2_048_000.0
+    pacc = rng.integers(0, 2 ** 32, (ch, 1), dtype=np.uint32)
+    iqf = rng.standard_normal((ch, 2)).astype(np.float32) * 0.01
+    dth = 424242
+
+    want = pallas_kernels.dc_block_apply(
+        xr, xi, jnp.asarray(st), alpha, jnp.asarray(iqf),
+        jnp.asarray(pacc), dth, interpret=True)
+    wire = jax.lax.bitcast_convert_type(
+        jnp.asarray(raw).reshape(ch, n, 2), jnp.int32)
+    got = pallas_kernels.dc_block_apply(
+        None, None, jnp.asarray(st), alpha, jnp.asarray(iqf),
+        jnp.asarray(pacc), dth, interpret=True,
+        wire_i32=wire, wire_norm=1.0 / 32768.0, wire_gain=gain)
+    assert got is not None and want is not None
+    for g, w in zip(got, want):
+        if exact:
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+        else:
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=5e-5)
+
+
+def test_fused_pre_wire_chain_parity(rng, monkeypatch):
+    """Whole-chain parity: the wire-input fused pre kernel (interpret)
+    vs the separate-op chain across carried blocks."""
+    from iq_tool_tpu.ops.fir_design import FilterRequest
+    from iq_tool_tpu.pipeline import chain as chain_mod
+    from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+
+    cfg = ChainConfig(input_format="cs16", output_format="cs16",
+                      input_rate=2_048_000.0, target_rate=1_488_375.0,
+                      dc_block=True, iq_correction=True,
+                      freq_shift_pre_hz=100_000.0,
+                      filters=[FilterRequest("lowpass", 400_000.0)],
+                      target_block=4096)
+    raws = [rng.integers(-2 ** 14, 2 ** 14, (1, Chain(cfg).in_wire_len))
+            .astype(np.int16) for _ in range(3)]
+
+    def run():
+        ch = Chain(cfg)
+        carry = ch.init_carry()
+        outs = []
+        for r in raws:
+            carry, o = ch.step(carry, r, np.False_)
+            outs.append(np.asarray(jax.device_get(o)))
+        return np.concatenate(outs, -1)
+
+    want = run()
+    monkeypatch.setattr(chain_mod, "_FUSED_PRE_INTERPRET", True)
+    got = run()
+    diff = got.astype(np.int32) - want.astype(np.int32)
+    # the fused DC recurrence differs from the XLA two-level scan in f32
+    # association (same bound as the sharded/folded DC contract)
+    assert np.abs(diff).max() <= 4, np.abs(diff).max()

@@ -180,6 +180,72 @@ def main() -> int:
         check("osfft mixed-advance schedule (CLI framing) vs oracle",
               False, str(e)[:200])
 
+    # wire-input DC kernel: packed int32 cs16 de-interleave in-register
+    # vs the planar-input kernel (bitwise at gain 1)
+    try:
+        from iq_tool_tpu.ops import convert as _conv
+        from iq_tool_tpu.ops import pallas_kernels as _pk
+        import jax.numpy as _jnp
+        rng = np.random.default_rng(9)
+        n = 16384
+        raw = rng.integers(-2 ** 15, 2 ** 15, (8, 2 * n)).astype(np.int16)
+        xr, xi = _conv.to_planar(_jnp.asarray(raw), "cs16", 1.0)
+        st = np.zeros((8, 4), np.float32)
+        alpha = 2 * np.pi * 10.0 / RATE_IN
+        want = _pk.dc_block_apply(xr, xi, _jnp.asarray(st), alpha)
+        wire = jax.lax.bitcast_convert_type(
+            _jnp.asarray(raw).reshape(8, n, 2), _jnp.int32)
+        got = _pk.dc_block_apply(None, None, _jnp.asarray(st), alpha,
+                                 wire_i32=wire, wire_norm=1.0 / 32768.0)
+        if got is None or want is None:
+            check("wire-input DC kernel == planar kernel", False,
+                  "kernel declined")
+        else:
+            md = max(float(np.abs(np.asarray(g) - np.asarray(w)).max())
+                     for g, w in zip(got, want))
+            check("wire-input DC kernel == planar kernel", md == 0.0,
+                  f"max abs diff {md:.2e}")
+    except Exception as e:
+        check("wire-input DC kernel == planar kernel", False, str(e)[:200])
+
+    # fused post-stage kernel (NCO + AGC gains + cs16 quantize/interleave)
+    # vs the separate XLA ops, incl. ragged n and the int32 packing
+    try:
+        from iq_tool_tpu.ops import convert as _conv
+        from iq_tool_tpu.ops import nco as _nco
+        from iq_tool_tpu.ops import pallas_kernels as _pk
+        import jax.numpy as _jnp
+        rng = np.random.default_rng(7)
+        n = 11907
+        xr = (rng.standard_normal((8, n)) * 0.4).astype(np.float32)
+        xi = (rng.standard_normal((8, n)) * 0.4).astype(np.float32)
+        gains = rng.uniform(0.5, 2.0, (8, n // 128)).astype(np.float32)
+        pacc = rng.integers(0, 2 ** 32, (8, 1), dtype=np.uint32)
+        dth = 123456789
+        got_i32 = _pk.post_apply(_jnp.asarray(xr), _jnp.asarray(xi),
+                                 _jnp.asarray(gains), 128,
+                                 _jnp.asarray(pacc), dth)
+        if got_i32 is None:
+            check("fused post kernel vs XLA ops", False, "kernel declined")
+        else:
+            got = np.asarray(jax.lax.bitcast_convert_type(
+                got_i32, _jnp.int16)).reshape(8, 2 * n)
+            yr, yi, _ = _nco.apply_planar(_jnp.asarray(xr),
+                                          _jnp.asarray(xi),
+                                          _jnp.asarray(pacc[:, 0]),
+                                          np.uint32(dth))
+            g_full = np.repeat(gains, 128, axis=-1)
+            pad = np.repeat(gains[:, -1:], n - g_full.shape[-1], axis=-1)
+            g_full = np.concatenate([g_full, pad], axis=-1)
+            want = np.asarray(_conv.from_planar(yr * g_full, yi * g_full,
+                                                "cs16"))
+            d = np.abs(got.astype(np.int32) - want.astype(np.int32))
+            check("fused post kernel vs XLA ops",
+                  bool(d.max() <= 1 and (d != 0).mean() < 2e-3),
+                  f"maxdiff {d.max()} frac {(d != 0).mean():.4f}")
+    except Exception as e:
+        check("fused post kernel vs XLA ops", False, str(e)[:200])
+
     # single-stream sublane folding: FoldedChain(F=8) vs the sequential
     # row-block chain on the real chip (Mosaic lowering of the folded
     # fused pre-stage + row-batched banded stages)
