@@ -113,22 +113,37 @@ def rms_params(cfg: AgcConfig, n: int) -> tuple[int, int, float]:
     return n_seg, seg, beta
 
 
-def _apply_rms_planar(xr: jnp.ndarray, xi: jnp.ndarray, state: AgcState,
-                      cfg: AgcConfig):
+def rms_gains(xr: jnp.ndarray, xi: jnp.ndarray, state: AgcState,
+              cfg: AgcConfig):
+    """(gains (C, n_seg), seg, new_state): the per-segment gain schedule
+    for a block — shared by the XLA apply below and the fused post
+    kernel (pipeline/chain.py) so the two paths cannot drift."""
     c, n = xr.shape
     n_seg, seg, beta = rms_params(cfg, n)
     xsr = xr[:, : n_seg * seg].reshape(c, n_seg, seg)
     xsi = xi[:, : n_seg * seg].reshape(c, n_seg, seg)
     e_in = jnp.mean(xsr * xsr + xsi * xsi, axis=-1).T  # (n_seg, C)
-    gains, g_fin, e2_fin = rms_scan(e_in, state.gain, state.e2, beta, cfg.target)
-    gseg = gains.T[:, :, None]
+    gains, g_fin, e2_fin = rms_scan(e_in, state.gain, state.e2, beta,
+                                    cfg.target)
+    new_state = state._replace(gain=g_fin, e2=e2_fin,
+                               samples_seen=state.samples_seen + jnp.uint32(n))
+    return gains.T, seg, new_state
+
+
+def _apply_rms_planar(xr: jnp.ndarray, xi: jnp.ndarray, state: AgcState,
+                      cfg: AgcConfig):
+    c, n = xr.shape
+    gains, seg, new_state = rms_gains(xr, xi, state, cfg)
+    n_seg = gains.shape[-1]
+    gseg = gains[:, :, None]
+    xsr = xr[:, : n_seg * seg].reshape(c, n_seg, seg)
+    xsi = xi[:, : n_seg * seg].reshape(c, n_seg, seg)
     yr = (xsr * gseg).reshape(c, n_seg * seg)
     yi = (xsi * gseg).reshape(c, n_seg * seg)
     if n_seg * seg < n:  # ragged tail (only for tiny blocks)
+        g_fin = new_state.gain
         yr = jnp.concatenate([yr, xr[:, n_seg * seg:] * g_fin[:, None]], axis=-1)
         yi = jnp.concatenate([yi, xi[:, n_seg * seg:] * g_fin[:, None]], axis=-1)
-    new_state = state._replace(gain=g_fin, e2=e2_fin,
-                               samples_seen=state.samples_seen + jnp.uint32(n))
     return yr, yi, new_state
 
 

@@ -82,6 +82,19 @@ def to_planar(raw: jnp.ndarray, fmt: SampleFormat | str, gain: float = 1.0):
     return pairs[..., 0], pairs[..., 1]
 
 
+def wire_as_i32(raw: jnp.ndarray, fmt: SampleFormat | str):
+    """Packed int32 view of an interleaved 2x16-bit wire block (I in the
+    low half, Q in the high half, little-endian) for kernels that
+    de-interleave in-register (pallas_kernels.dc_block_apply wire mode).
+    Returns (C, N) int32 or None when the format has no such packing."""
+    fmt = get_format(fmt) if isinstance(fmt, str) else fmt
+    if fmt.name != "cs16" or fmt.wire_dtype != np.int16:
+        return None
+    c = raw.shape[0]
+    return jax.lax.bitcast_convert_type(
+        raw.reshape(c, raw.shape[-1] // 2, 2), jnp.int32)
+
+
 def to_cf32(raw: jnp.ndarray, fmt: SampleFormat | str, gain: float = 1.0):
     """Convert a wire-format block to complex64 (see to_planar)."""
     xr, xi = to_planar(raw, fmt, gain)

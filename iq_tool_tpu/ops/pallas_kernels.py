@@ -42,6 +42,11 @@ _LANES = 128
 _VMEM_BUDGET = 6 * 1024 * 1024   # per-cell working set target (bytes)
 
 
+def _cs16_fmt():
+    from iq_tool_tpu.formats import get_format
+    return get_format("cs16")
+
+
 def _pick_halo(cell: int, hist: int) -> int | None:
     """Smallest divisor of cell that is a multiple of 128 and >= hist."""
     k = _LANES
@@ -424,19 +429,7 @@ def _dc_kernel(*refs, cb, cell, t, a, with_iq, dtheta,
         phi = iqf_ref[:, 1:2]
         yr, yi = yr * (1.0 + gf), yi + phi * yr
     if dtheta:
-        # NCO mix at the global sample index: wrapping int32 phase
-        # arithmetic == uint32 mod 2^32, and the SIGNED value maps to the
-        # same angle mod 2pi (Mosaic cannot cast uint32 -> f32)
-        idx = (jax.lax.broadcasted_iota(jnp.int32, (cb, cell), 1)
-               + jnp.int32(i * cell))
-        ph0 = pltpu.bitcast(ph_ref[...], jnp.int32)
-        dth_i32 = jnp.int32(np.int64(dtheta) - (1 << 32)
-                            if dtheta >= (1 << 31) else dtheta)
-        phases = ph0 + idx * dth_i32
-        ang = phases.astype(jnp.float32) * jnp.float32(
-            2.0 * np.pi / 4294967296.0)
-        c, s_ = jnp.cos(ang), jnp.sin(ang)
-        yr, yi = yr * c - yi * s_, yr * s_ + yi * c
+        yr, yi = _nco_mix(ph_ref, i, cb, cell, dtheta, yr, yi)
     outr_ref[...] = yr
     outi_ref[...] = yi
 
@@ -731,33 +724,41 @@ def osfft_apply(ext_r: jnp.ndarray, ext_i: jnp.ndarray, h: tuple,
 
 # --------------------------- fused post-stage kernel ---------------------------
 
-def _post_kernel(xr_ref, xi_ref, g_ref, *rest, cb, cell, seg_m, dtheta):
-    """Post-NCO + AGC gain apply + cs16 quantize/interleave over one
+def _nco_mix(ph_ref, block_idx, cb, cell, dtheta, yr, yi):
+    """In-kernel NCO mix at the global sample index, shared by _dc_kernel
+    and _post_kernel: wrapping int32 arithmetic == uint32 mod 2^32, and
+    the SIGNED value maps to the same angle mod 2pi (Mosaic cannot cast
+    uint32 -> f32)."""
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (cb, cell), 1)
+           + jnp.int32(block_idx) * jnp.int32(cell))
+    ph0 = pltpu.bitcast(ph_ref[...], jnp.int32)
+    dth_i32 = jnp.int32(np.int64(dtheta) - (1 << 32)
+                        if dtheta >= (1 << 31) else dtheta)
+    phases = ph0 + idx * dth_i32
+    ang = phases.astype(jnp.float32) * jnp.float32(
+        2.0 * np.pi / 4294967296.0)
+    c_, s_ = jnp.cos(ang), jnp.sin(ang)
+    return yr * c_ - yi * s_, yr * s_ + yi * c_
+
+
+def _post_kernel(xr_ref, xi_ref, g_ref, *rest, cb, cell, seg_m, dtheta,
+                 scale, mn, mx):
+    """Post-NCO + AGC gain apply + quantize/interleave over one
     (cb, cell) tile: replaces three separate XLA passes over the output-
     rate planes (mix, gain multiply, convert) with ONE HBM round trip.
 
     Output is int32 with the I code in the low 16 bits and Q in the high
     16 — bit-identical to the interleaved little-endian cs16 wire, so the
     caller just bitcasts (post_processor.c:38-68 + sample_convert.c
-    round-half-away/clamp contract)."""
+    round-half-away/clamp contract; scale/mn/mx come from the format
+    table, so the two quantizers cannot drift apart)."""
     ph_ref = rest[0] if dtheta else None
     out_ref = rest[-1]
     i = pl.program_id(1)
     yr = xr_ref[...]
     yi = xi_ref[...]
     if dtheta:
-        # NCO mix at the global sample index (same idiom as _dc_kernel:
-        # wrapping int32 == uint32 mod 2^32; Mosaic can't cast uint32)
-        idx = (jax.lax.broadcasted_iota(jnp.int32, (cb, cell), 1)
-               + jnp.int32(i) * jnp.int32(cell))
-        ph0 = pltpu.bitcast(ph_ref[...], jnp.int32)
-        dth_i32 = jnp.int32(np.int64(dtheta) - (1 << 32)
-                            if dtheta >= (1 << 31) else dtheta)
-        phases = ph0 + idx * dth_i32
-        ang = phases.astype(jnp.float32) * jnp.float32(
-            2.0 * np.pi / 4294967296.0)
-        c_, s_ = jnp.cos(ang), jnp.sin(ang)
-        yr, yi = yr * c_ - yi * s_, yr * s_ + yi * c_
+        yr, yi = _nco_mix(ph_ref, i, cb, cell, dtheta, yr, yi)
     if seg_m:
         # per-128-sample segment gains: expand (cb, seg_m) across lanes
         g3 = g_ref[...][:, :, None]                      # (cb, seg_m, 1)
@@ -769,11 +770,10 @@ def _post_kernel(xr_ref, xi_ref, g_ref, *rest, cb, cell, seg_m, dtheta):
         yi = yi * g
 
     def quant(v):
-        # sample_convert.c signed contract: scale TYPE_MAX (32767),
-        # round half away from zero, clamp [TYPE_MIN, TYPE_MAX]
-        v = v * jnp.float32(32767.0)
+        # convert._round_half_away + clamp, format-table constants
+        v = v * jnp.float32(scale)
         v = jnp.trunc(jnp.where(v > 0, v + 0.5, v - 0.5))
-        v = jnp.clip(v, jnp.float32(-32768.0), jnp.float32(32767.0))
+        v = jnp.clip(v, jnp.float32(mn), jnp.float32(mx))
         return v.astype(jnp.int32)
 
     out_ref[...] = (quant(yr) & jnp.int32(0xFFFF)) | (quant(yi) << 16)
@@ -825,20 +825,24 @@ def post_apply(xr: jnp.ndarray, xi: jnp.ndarray, gains: jnp.ndarray,
         args.append(phase_acc)
     out_spec = pl.BlockSpec((cb, cell), lambda c, i: (c, i),
                             memory_space=pltpu.VMEM)
-    try:
-        return pl.pallas_call(
-            functools.partial(_post_kernel, cb=cb, cell=cell, seg_m=seg_m,
-                              dtheta=dtheta),
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((ch, n), jnp.int32),
-            cost_estimate=pl.CostEstimate(
-                flops=10 * ch * n, transcendentals=2 * ch * n if dtheta else 0,
-                bytes_accessed=4 * ch * n * 3),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel")),
-            interpret=interpret,
-        )(*args)
-    except Exception:
-        return None      # geometry/lowering decline -> caller falls back
+    # No try/except: pallas_call here only TRACES under the callers' jit
+    # (Mosaic compiles later), so catching could never deliver a lowering
+    # fallback — it would only swallow real trace-time bugs.  If hardware
+    # rejects this kernel, the operational fallback is the
+    # IQTOOL_DISABLE_POST_KERNEL env gate in the chain (or the global
+    # banded.set_kernels_enabled kill-switch).
+    return pl.pallas_call(
+        functools.partial(_post_kernel, cb=cb, cell=cell, seg_m=seg_m,
+                          dtheta=dtheta, scale=_cs16_fmt().scale,
+                          mn=_cs16_fmt().min_code, mx=_cs16_fmt().max_code),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((ch, n), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * ch * n, transcendentals=2 * ch * n if dtheta else 0,
+            bytes_accessed=4 * ch * n * 3),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(*args)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Sequence
 
 import jax
@@ -276,13 +277,12 @@ class Chain:
         c = raw.shape[0]
         items = self.fmt_in.items_per_frame
         n = raw.shape[-1] // items
-        wire = None
-        if self.fmt_in.name == "cs16" and self.fmt_in.wire_dtype == np.int16:
-            # packed int32 view of the interleaved wire: the kernel
-            # de-interleaves and normalizes in-register, so the separate
-            # conversion pass never touches HBM
-            wire = jax.lax.bitcast_convert_type(
-                raw.reshape(c, n, 2), jnp.int32)
+        # packed int32 view of the interleaved wire: the kernel
+        # de-interleaves and normalizes in-register, so the separate
+        # conversion pass never touches HBM (None for non-cs16 formats
+        # or under the operational kill-switch)
+        wire = (None if os.environ.get("IQTOOL_DISABLE_WIRE_INPUT")
+                else convert.wire_as_i32(raw, self.fmt_in))
         xr = xi = None
         if wire is None:
             xr, xi = convert.to_planar(raw, self.fmt_in, cfg.gain)
@@ -334,6 +334,8 @@ class Chain:
         from iq_tool_tpu.ops import banded, pallas_kernels
         if self.fmt_out.name != "cs16":
             return None
+        if os.environ.get("IQTOOL_DISABLE_POST_KERNEL"):
+            return None            # operational kill-switch (see post_apply)
         if not (banded._on_tpu() or _FUSED_POST_INTERPRET):
             return None
         dth = int(self.dtheta_post)
@@ -344,21 +346,17 @@ class Chain:
         seg = 0
         new_agc = None
         if cfg_agc is not None and cfg_agc.profile != "digital":
-            n_seg, sl, beta = agc_ops.rms_params(cfg_agc, n)
-            if sl != C.AGC_SEGMENT:
+            if agc_ops.rms_params(cfg_agc, n)[1] != C.AGC_SEGMENT:
                 return None        # tiny blocks: odd segment width
-            xsr = xr[:, : n_seg * sl].reshape(c, n_seg, sl)
-            xsi = xi[:, : n_seg * sl].reshape(c, n_seg, sl)
-            e_in = jnp.mean(xsr * xsr + xsi * xsi, axis=-1).T
-            st = carry["agc"]
-            gains_t, g_fin, e2_fin = agc_ops.rms_scan(
-                e_in, st.gain, st.e2, beta, cfg_agc.target)
-            gains = gains_t.T                        # (C, n_seg)
-            seg = sl
-            new_agc = st._replace(
-                gain=g_fin, e2=e2_fin,
-                samples_seen=st.samples_seen + jnp.uint32(n))
+            gains, seg, new_agc = agc_ops.rms_gains(xr, xi, carry["agc"],
+                                                    cfg_agc)
         elif cfg_agc is not None:
+            # NOTE the digital profile compares hard thresholds (clip,
+            # strong); its peak is measured pre-NCO here (rotation-
+            # invariant in exact math), so a block whose peak sits within
+            # ~1 ulp of a threshold could decide differently from the
+            # post-NCO XLA fallback — within the accepted cross-path
+            # contract, but not the bounded +-1-code kind
             pk = jnp.sqrt(jnp.max(xr * xr + xi * xi, axis=-1))
             gain_out, new_agc = agc_ops.digital_update(carry["agc"], pk,
                                                        n, cfg_agc)

@@ -194,12 +194,11 @@ class FoldedChain:
                         dtype=np.float64).astype(np.float32)
         a_l = jnp.float32(a_real ** n)
 
-        wire = None
+        import os
+        wire = (None if os.environ.get("IQTOOL_DISABLE_WIRE_INPUT")
+                else convert.wire_as_i32(raw_rows, lc.fmt_in))
         xr = xi = None
-        if lc.fmt_in.name == "cs16" and lc.fmt_in.wire_dtype == np.int16:
-            wire = jax.lax.bitcast_convert_type(
-                raw_rows.reshape(self.rows, n, 2), jnp.int32)
-        else:
+        if wire is None:
             xr, xi = convert.to_planar(raw_rows, lc.fmt_in, cfg.gain)
 
         def slice_planes(sl_rows):
@@ -325,10 +324,14 @@ class FoldedChain:
         """Fused post-NCO + AGC apply + cs16 quantize over the (R, n_sub)
         rows (see Chain._fused_post); per-row NCO phases are the exact
         closed-form offsets."""
+        import os
+
         from iq_tool_tpu.ops import banded, pallas_kernels
         from iq_tool_tpu.pipeline import chain as chain_mod
         lc = self.local
         if lc.fmt_out.name != "cs16":
+            return None
+        if os.environ.get("IQTOOL_DISABLE_POST_KERNEL"):
             return None
         interp = _FUSED_INTERPRET or chain_mod._FUSED_POST_INTERPRET
         if not (banded._on_tpu() or interp):
