@@ -36,3 +36,28 @@ def test_hackrf_fake_driver_cli_e2e(tmp_path):
                                      cpu=True, timeout=540)
     assert rc == 130, (rc, se[-300:])
     sdr_e2e.check_tone(out, snr_floor=38.0)
+
+
+def test_sdrplay_fake_driver_cli_e2e(tmp_path):
+    """sdrplay_api 3.x service stand-in: the REAL 331-line ctypes binding
+    driven end to end — planar short callbacks interleaved into the ring,
+    a mid-stream reset propagated as a discontinuity (its filter-tail
+    transient is expected), a power-overload detect/correct pair, and the
+    DeviceRemoved clean-EOS path."""
+    import os
+
+    n = 1 << 19
+    out = str(tmp_path / "out.raw")
+    rc, so, se = sdr_e2e.run_bounded("sdrplay", n, out, cpu=True,
+                                     timeout=540)
+    assert rc == 0, se[-500:]
+    expected = n * 11907 // 16384
+    n_out = os.path.getsize(out) // 4
+    assert expected - 2 <= n_out <= expected, (n_out, expected)
+    # steady state on both sides of the reset transient
+    sdr_e2e.check_tone(out, snr_floor=60.0,
+                       span=(10000, n_out // 3 - 10000))
+    sdr_e2e.check_tone(out, snr_floor=60.0, span=(2 * n_out // 3, None))
+    # overload ack + reset + removal all logged through the real paths
+    assert "overload" in se.lower(), se[-400:]
+    assert "reset" in se.lower()

@@ -11,7 +11,11 @@ IQTOOL_<NAME>_LIB override:
   like real hardware never ends on its own: the run is bounded by
   SIGTERM, exercising the graceful finalize path (main.c Ctrl-C analog).
 
-Run: python tools/sdr_e2e.py [--cpu] [--driver rtlsdr|bladerf|hackrf]
+* sdrplay — sdrplay_api 3.x service stand-in: PLANAR short xi/xq
+  stream callbacks, a mid-stream reset (discontinuity propagation), a
+  power-overload detect/correct pair (Update ack), DeviceRemoved EOS.
+
+Run: python tools/sdr_e2e.py [--cpu] [--driver rtlsdr|bladerf|hackrf|sdrplay]
 """
 
 import argparse
@@ -36,6 +40,8 @@ DRIVERS = {
     "rtlsdr": ("fake_librtlsdr.c", "librtlsdr.so", "IQTOOL_RTLSDR_LIB"),
     "bladerf": ("fake_libbladerf.c", "libbladeRF.so", "IQTOOL_BLADERF_LIB"),
     "hackrf": ("fake_libhackrf.c", "libhackrf.so", "IQTOOL_HACKRF_LIB"),
+    "sdrplay": ("fake_libsdrplay.c", "libsdrplay_api.so",
+                "IQTOOL_SDRPLAY_API_LIB"),
 }
 
 
@@ -56,6 +62,7 @@ def _env(driver: str, lib: str, n_frames: int, cpu: bool) -> dict:
     env[DRIVERS[driver][2]] = lib
     env["FAKE_RTLSDR_FRAMES"] = str(n_frames)
     env["FAKE_BLADERF_FRAMES"] = str(n_frames)
+    env["FAKE_SDRPLAY_FRAMES"] = str(n_frames)
     if cpu:
         env.pop("PYTHONPATH", None)       # the axon sitecustomize
         env["JAX_PLATFORMS"] = "cpu"
@@ -110,12 +117,12 @@ def run_sigterm(driver: str, out_path: str, min_bytes: int,
 
 
 def check_tone(out_path: str, snr_floor: float,
-               expected_frames: int | None = None):
+               expected_frames: int | None = None, span=(20000, None)):
     raw = np.fromfile(out_path, np.int16).astype(np.float64) / 32768.0
     frames = len(raw) // 2
     if expected_frames is not None:
         assert frames == expected_frames, (frames, expected_frames)
-    x = (raw[0::2] + 1j * raw[1::2])[20000:]
+    x = (raw[0::2] + 1j * raw[1::2])[span[0]:span[1]]
     w = np.hanning(len(x))
     p = np.abs(np.fft.fftshift(np.fft.fft(x * w))) ** 2
     f = np.fft.fftshift(np.fft.fftfreq(len(x), 1.0 / RATE_OUT))
@@ -146,8 +153,21 @@ def main() -> int:
             print(se[-800:])
             return 1
         floor = 45.0 if args.driver == "rtlsdr" else 55.0
-        frames, peak, snr = check_tone(
-            out, floor, expected_frames=args.frames * 11907 // 16384)
+        expected = args.frames * 11907 // 16384
+        if args.driver == "sdrplay":
+            # mid-stream reset event: the pre/post-gap segments trim
+            # independently (up to 2 frames fewer), and the reset's
+            # filter-tail transient at n/3 is EXPECTED chain behavior —
+            # measure the steady state on both sides of it
+            n_out = os.path.getsize(out) // 4
+            frames, peak, snr = check_tone(out, floor,
+                                           span=(10000, n_out // 3 - 10000))
+            check_tone(out, floor, span=(2 * n_out // 3, None))
+            assert expected - 2 <= n_out <= expected, (n_out, expected)
+            frames = n_out
+        else:
+            frames, peak, snr = check_tone(out, floor,
+                                           expected_frames=expected)
     print(f"frames {frames}, peak {peak / 1e3:.1f} kHz, SNR {snr:.1f} dB")
     print("PASS")
     return 0
