@@ -145,3 +145,25 @@ def apply_planar(state_r: jnp.ndarray, state_i: jnp.ndarray,
     win_r = build_windows(ext_r, stride, hist)
     win_i = build_windows(ext_i, stride, hist)
     return window_matmul_planar(win_r, win_i, a_r, a_i)
+
+
+def apply_planar_packed(state_r: jnp.ndarray, state_i: jnp.ndarray,
+                        xr: jnp.ndarray, xi: jnp.ndarray,
+                        a_r: np.ndarray, a_i: np.ndarray | None,
+                        stride: int, hist: int,
+                        interpret: bool = False):
+    """Banded map whose output IS the quantized interleaved cs16 wire
+    (int32, I low half / Q high): the kernel epilogue quantizes in VMEM
+    so the separate convert pass never touches HBM.  Returns the (C,
+    (n//stride)*G) int32 wire, or None when the kernel path is
+    unavailable (caller runs apply_planar + convert.from_planar)."""
+    if hist <= 0 or not (_on_tpu() or interpret):
+        return None
+    from iq_tool_tpu.ops import pallas_kernels
+    ch, n = xr.shape
+    nb = n // stride
+    if pallas_kernels.plan(stride, hist, a_r.shape[1], nb, ch) is None:
+        return None
+    return pallas_kernels.banded_apply(state_r, state_i, xr, xi,
+                                       a_r, a_i, stride, hist,
+                                       interpret=interpret, pack_cs16=True)

@@ -99,54 +99,112 @@ def plan(stride: int, hist: int, g: int, nb: int, ch: int):
     return None
 
 
-def _shift_rows(b_ref, h_ref, st_ref, *, cb, tb, s, hist):
+def _shift_rows(b, h, st, *, cb, tb, s, hist):
     """(rows, prev_rows) for the shift formulation: window row j =
     [tail of row j-1, row j].  Row -1 comes from the left halo (or the
     carried state on the first time tile, spliced into its tail lanes;
-    the splice's leading lanes hit A1's zero rows)."""
+    the splice's leading lanes hit A1's zero rows).  Inputs are VALUES
+    (already decoded from the wire in wire mode)."""
     i = pl.program_id(1)
-    rows = b_ref[...].reshape(cb, tb, s)
-    halo_row = h_ref[:, h_ref.shape[-1] - s:]
+    rows = b.reshape(cb, tb, s)
+    halo_row = h[:, h.shape[-1] - s:]
     state_row = jnp.concatenate(
-        [jnp.zeros((cb, s - hist), rows.dtype), st_ref[...]], axis=-1)
+        [jnp.zeros((cb, s - hist), rows.dtype), st], axis=-1)
     prev0 = jnp.where(i == 0, state_row, halo_row)
     prev_rows = jnp.concatenate([prev0[:, None, :], rows[:, :-1, :]],
                                 axis=1)
     return rows, prev_rows
 
 
-def _shift_kernel(xr_b, xr_h, xr_st, xi_b, xi_h, xi_st, a1, a2,
-                  out_r, out_i, *, tb, s, hist, g):
+def _banded_inputs(refs, n_mats, wire_norm, wire_gain):
+    """Split a banded kernel's positional refs into decoded VALUES.
+
+    Planar layout: (xr_b, xr_h, xr_st, xi_b, xi_h, xi_st, mats..., outs...).
+    Wire layout:   (w_b, w_h, st_r, st_i, mats..., outs...) — the packed
+    int32 cs16 wire is de-interleaved and normalized in-register, so the
+    separate conversion pass never touches HBM (the input twin of the
+    pack_cs16 output epilogue)."""
+    refs = list(refs)
+    if wire_norm:
+        wb = refs.pop(0)[...]
+        wh = refs.pop(0)[...]
+        st_r = refs.pop(0)[...]
+        st_i = refs.pop(0)[...]
+
+        def dec(v):
+            xr = (((v << 16) >> 16).astype(jnp.float32)
+                  * jnp.float32(wire_norm)) * jnp.float32(wire_gain)
+            xi = ((v >> 16).astype(jnp.float32)
+                  * jnp.float32(wire_norm)) * jnp.float32(wire_gain)
+            return xr, xi
+
+        xrb, xib = dec(wb)
+        xrh, xih = dec(wh)
+        plane_r = (xrb, xrh, st_r)
+        plane_i = (xib, xih, st_i)
+    else:
+        plane_r = (refs.pop(0)[...], refs.pop(0)[...], refs.pop(0)[...])
+        plane_i = (refs.pop(0)[...], refs.pop(0)[...], refs.pop(0)[...])
+    mats = [refs.pop(0) for _ in range(n_mats)]
+    return plane_r, plane_i, mats, refs
+
+
+def _quant_cs16(v):
+    """convert._round_half_away + clamp with the cs16 format constants —
+    the in-kernel twin of convert.from_planar's signed path."""
+    fmt = _cs16_fmt()
+    v = v * jnp.float32(fmt.scale)
+    v = jnp.trunc(jnp.where(v > 0, v + 0.5, v - 0.5))
+    v = jnp.clip(v, jnp.float32(fmt.min_code), jnp.float32(fmt.max_code))
+    return v.astype(jnp.int32)
+
+
+def _pack_cs16(yr, yi):
+    """Quantize + interleave: int32 with I in the low 16 bits, Q high —
+    bit-identical to the little-endian interleaved cs16 wire."""
+    return (_quant_cs16(yr) & jnp.int32(0xFFFF)) | (_quant_cs16(yi) << 16)
+
+
+def _banded_write(outs, yr, yi, pack):
+    """Kernel epilogue: planar f32 outputs, or ONE packed cs16 wire ref
+    (the format conversion then never touches HBM — the last resampler
+    stage writes the output bytes directly)."""
+    if pack:
+        outs[0][...] = _pack_cs16(yr, yi)
+    else:
+        outs[0][...] = yr
+        outs[1][...] = yi
+
+
+def _shift_kernel(*refs, tb, s, hist, g, pack=False, wire=(0.0, 1.0)):
     """Fast path (hist <= s, s lane-aligned): win @ A = prev_rows @ A1 +
     rows @ A2 with A split at the history boundary — two clean matmuls,
     zero lane-granular shuffling (see _shift_rows)."""
-    cb = xr_b.shape[0]
+    pr_, pi_, (a1, a2), outs = _banded_inputs(refs, 2, *wire)
+    cb = pr_[0].shape[0]
     a1m, a2m = a1[...], a2[...]
 
-    def plane(b_ref, h_ref, st_ref):
-        rows, prev_rows = _shift_rows(b_ref, h_ref, st_ref,
-                                      cb=cb, tb=tb, s=s, hist=hist)
+    def plane(vals):
+        rows, prev_rows = _shift_rows(*vals, cb=cb, tb=tb, s=s, hist=hist)
         return (_mm(prev_rows, a1m, cb, tb, g)
                 + _mm(rows, a2m, cb, tb, g))
 
-    out_r[...] = plane(xr_b, xr_h, xr_st)
-    out_i[...] = plane(xi_b, xi_h, xi_st)
+    _banded_write(outs, plane(pr_), plane(pi_), pack)
 
 
-def _shift_kernel_complex(xr_b, xr_h, xr_st, xi_b, xi_h, xi_st,
-                          a1r, a2r, a1i, a2i, out_r, out_i,
-                          *, tb, s, hist, g):
-    cb = xr_b.shape[0]
-    rr, pr = _shift_rows(xr_b, xr_h, xr_st, cb=cb, tb=tb, s=s, hist=hist)
-    ri, pi_ = _shift_rows(xi_b, xi_h, xi_st, cb=cb, tb=tb, s=s, hist=hist)
+def _shift_kernel_complex(*refs, tb, s, hist, g, pack=False,
+                          wire=(0.0, 1.0)):
+    pl_r, pl_i, (a1r, a2r, a1i, a2i), outs = _banded_inputs(refs, 4, *wire)
+    cb = pl_r[0].shape[0]
+    rr, pr = _shift_rows(*pl_r, cb=cb, tb=tb, s=s, hist=hist)
+    ri, pi_ = _shift_rows(*pl_i, cb=cb, tb=tb, s=s, hist=hist)
 
     def conv(rows, prev, m1, m2):
         return _mm(prev, m1, cb, tb, g) + _mm(rows, m2, cb, tb, g)
 
     yr = conv(rr, pr, a1r[...], a2r[...]) - conv(ri, pi_, a1i[...], a2i[...])
     yi = conv(ri, pi_, a1r[...], a2r[...]) + conv(rr, pr, a1i[...], a2i[...])
-    out_r[...] = yr
-    out_i[...] = yi
+    _banded_write(outs, yr, yi, pack)
 
 
 def _split_matrix(a: np.ndarray, s: int, hist: int):
@@ -214,47 +272,63 @@ def _mm(win, a_pair, ch, tb, g):
 
 
 def _left(state, halo, hist: int):
-    """First time-tile takes the stream carry; later tiles the halo tail."""
+    """First time-tile takes the stream carry; later tiles the halo
+    tail.  Inputs are VALUES."""
     i = pl.program_id(1)
     tail = halo[:, halo.shape[-1] - hist:]
-    return jnp.where(i == 0, state[...], tail)
+    return jnp.where(i == 0, state, tail)
 
 
-def _banded_kernel(xr_b, xr_h, xr_st, xi_b, xi_h, xi_st, ar,
-                   out_r, out_i, *, tb, s, hist, g):
-    ch = xr_b.shape[0]
-    win_r = _window_tile(_left(xr_st, xr_h, hist), xr_b[...], tb, s, hist)
-    win_i = _window_tile(_left(xi_st, xi_h, hist), xi_b[...], tb, s, hist)
-    out_r[...] = _mm(win_r, ar[...], ch, tb, g)
-    out_i[...] = _mm(win_i, ar[...], ch, tb, g)
+def _banded_kernel(*refs, tb, s, hist, g, pack=False, wire=(0.0, 1.0)):
+    (xrb, xrh, xrst), (xib, xih, xist), (ar,), outs = \
+        _banded_inputs(refs, 1, *wire)
+    ch = xrb.shape[0]
+    win_r = _window_tile(_left(xrst, xrh, hist), xrb, tb, s, hist)
+    win_i = _window_tile(_left(xist, xih, hist), xib, tb, s, hist)
+    _banded_write(outs, _mm(win_r, ar[...], ch, tb, g),
+                  _mm(win_i, ar[...], ch, tb, g), pack)
 
 
-def _banded_kernel_complex(xr_b, xr_h, xr_st, xi_b, xi_h, xi_st, ar, ai,
-                           out_r, out_i, *, tb, s, hist, g):
-    ch = xr_b.shape[0]
-    win_r = _window_tile(_left(xr_st, xr_h, hist), xr_b[...], tb, s, hist)
-    win_i = _window_tile(_left(xi_st, xi_h, hist), xi_b[...], tb, s, hist)
+def _banded_kernel_complex(*refs, tb, s, hist, g, pack=False,
+                           wire=(0.0, 1.0)):
+    (xrb, xrh, xrst), (xib, xih, xist), (ar, ai), outs = \
+        _banded_inputs(refs, 2, *wire)
+    ch = xrb.shape[0]
+    win_r = _window_tile(_left(xrst, xrh, hist), xrb, tb, s, hist)
+    win_i = _window_tile(_left(xist, xih, hist), xib, tb, s, hist)
     a_r, a_i = ar[...], ai[...]
-    out_r[...] = (_mm(win_r, a_r, ch, tb, g) - _mm(win_i, a_i, ch, tb, g))
-    out_i[...] = (_mm(win_i, a_r, ch, tb, g) + _mm(win_r, a_i, ch, tb, g))
+    _banded_write(outs,
+                  _mm(win_r, a_r, ch, tb, g) - _mm(win_i, a_i, ch, tb, g),
+                  _mm(win_i, a_r, ch, tb, g) + _mm(win_r, a_i, ch, tb, g),
+                  pack)
 
 
 def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
                  xr: jnp.ndarray, xi: jnp.ndarray,
                  a_r: np.ndarray, a_i: np.ndarray | None,
                  stride: int, hist: int,
-                 interpret: bool = False):
+                 interpret: bool = False, pack_cs16: bool = False,
+                 wire_i32: jnp.ndarray | None = None,
+                 wire_norm: float = 0.0, wire_gain: float = 1.0):
     """Fused strided-window banded matmul.
 
     state_*: (C, hist) carried tap history (precedes this block's x);
     x*: (C, n) planes, n a multiple of ``stride``;
     a_r/a_i: (stride + hist, G) banded matrix (numpy, embedded constant).
-    Returns (yr, yi): (C, (n // stride) * G) f32.
+    Returns (yr, yi): (C, (n // stride) * G) f32 — or, with
+    ``pack_cs16``, ONE (C, (n // stride) * G) int32 array carrying the
+    quantized interleaved cs16 wire (I low half, Q high): the final
+    stage then writes the output bytes itself and the separate
+    conversion pass never touches HBM.
+
+    With ``wire_i32`` (+ wire_norm/wire_gain), the INPUT is the packed
+    int32 cs16 wire de-interleaved and normalized in-register (xr/xi may
+    be None; the carried state stays planar f32).
 
     Raises ValueError when the geometry is unsupported — gate with
     ``plan()`` (ops/banded.py does).
     """
-    ch, n = xr.shape
+    ch, n = (wire_i32 if wire_i32 is not None else xr).shape
     s = stride
     nb = n // s
     g = a_r.shape[1]
@@ -285,11 +359,15 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
         per_mat = [_split_matrix(a_r, s, hist)]
         if complex_taps:
             per_mat.append(_split_matrix(a_i, s, hist))
-            kern = functools.partial(_shift_kernel_complex,
-                                     tb=tb, s=s, hist=hist, g=g)
+            kern = functools.partial(_shift_kernel_complex, tb=tb, s=s,
+                                     hist=hist, g=g, pack=pack_cs16,
+                                     wire=(wire_norm if wire_i32 is not None
+                                           else 0.0, wire_gain))
         else:
-            kern = functools.partial(_shift_kernel,
-                                     tb=tb, s=s, hist=hist, g=g)
+            kern = functools.partial(_shift_kernel, tb=tb, s=s,
+                                     hist=hist, g=g, pack=pack_cs16,
+                                     wire=(wire_norm if wire_i32 is not None
+                                           else 0.0, wire_gain))
         mats = [jnp.asarray(_split_np(m)) for pair in per_mat for m in pair]
         mat_specs = [pl.BlockSpec((2, s, g), lambda c, i: (0, 0, 0),
                                   memory_space=pltpu.VMEM)
@@ -297,12 +375,16 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
     else:
         mats = [jnp.asarray(_split_np(a_r))]
         if complex_taps:
-            kern = functools.partial(_banded_kernel_complex,
-                                     tb=tb, s=s, hist=hist, g=g)
+            kern = functools.partial(_banded_kernel_complex, tb=tb, s=s,
+                                     hist=hist, g=g, pack=pack_cs16,
+                                     wire=(wire_norm if wire_i32 is not None
+                                           else 0.0, wire_gain))
             mats.append(jnp.asarray(_split_np(a_i)))
         else:
-            kern = functools.partial(_banded_kernel,
-                                     tb=tb, s=s, hist=hist, g=g)
+            kern = functools.partial(_banded_kernel, tb=tb, s=s,
+                                     hist=hist, g=g, pack=pack_cs16,
+                                     wire=(wire_norm if wire_i32 is not None
+                                           else 0.0, wire_gain))
         mat_specs = [pl.BlockSpec((2, l, g), lambda c, i: (0, 0, 0),
                                   memory_space=pltpu.VMEM)
                      for _ in mats]
@@ -315,21 +397,41 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
     else:
         n_mm, depth = (4 if complex_taps else 2), l
     flops = 2 * n_mm * nb * depth * g * ch
-    yr, yi = pl.pallas_call(
+    if pack_cs16:
+        out_specs = out_spec
+        out_shape = jax.ShapeDtypeStruct((ch, nb, g), jnp.int32)
+        out_bytes = ch * nb * g * 4
+    else:
+        out_specs = (out_spec, out_spec)
+        out_shape = (jax.ShapeDtypeStruct((ch, nb, g), jnp.float32),
+                     jax.ShapeDtypeStruct((ch, nb, g), jnp.float32))
+        out_bytes = 2 * ch * nb * g * 4
+    if wire_i32 is not None:
+        in_specs = [bulk_spec, halo_spec, state_spec, state_spec,
+                    *mat_specs]
+        args = (wire_i32, wire_i32, state_r, state_i, *mats)
+        in_bytes = 4 * ch * n + 2 * 4 * ch * hist
+    else:
+        in_specs = [bulk_spec, halo_spec, state_spec,
+                    bulk_spec, halo_spec, state_spec, *mat_specs]
+        args = (xr, xr, state_r, xi, xi, state_i, *mats)
+        in_bytes = 4 * 2 * ch * (n + hist)
+    res = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[bulk_spec, halo_spec, state_spec,
-                  bulk_spec, halo_spec, state_spec, *mat_specs],
-        out_specs=(out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((ch, nb, g), jnp.float32),
-                   jax.ShapeDtypeStruct((ch, nb, g), jnp.float32)),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops, transcendentals=0,
-            bytes_accessed=4 * (2 * ch * (n + hist) + 2 * ch * nb * g)),
+            bytes_accessed=in_bytes + out_bytes),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(xr, xr, state_r, xi, xi, state_i, *mats)
+    )(*args)
+    if pack_cs16:
+        return res.reshape(ch, nb * g)
+    yr, yi = res
     return yr.reshape(ch, nb * g), yi.reshape(ch, nb * g)
 
 

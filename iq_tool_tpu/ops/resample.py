@@ -215,6 +215,17 @@ class _MatmulStage:
         return (yr, yi, banded.new_tail(state_r, xr, self.hist),
                 banded.new_tail(state_i, xi, self.hist))
 
+    def apply_planar_packed(self, xr, xi, state_r, state_i,
+                            interpret: bool = False):
+        """Last-stage variant: (cs16 wire int32 | None, new_r, new_i) —
+        the kernel quantizes + interleaves in its epilogue, so the
+        output bytes are written directly (see banded.apply_planar_packed)."""
+        wire = banded.apply_planar_packed(state_r, state_i, xr, xi,
+                                          self._a, self._a_i, self.stride,
+                                          self.hist, interpret=interpret)
+        return (wire, banded.new_tail(state_r, xr, self.hist),
+                banded.new_tail(state_i, xi, self.hist))
+
     def __call__(self, x, state):
         yr, yi, nr, ni = self.apply_planar(
             jnp.real(x), jnp.imag(x), jnp.real(state), jnp.imag(state))
@@ -376,6 +387,28 @@ class Resampler:
             xr, xi, nr, ni = stage.apply_planar(xr, xi, sr, si)
             new_states.append((nr, ni))
         return xr, xi, tuple(new_states)
+
+    def apply_planar_packed(self, xr, xi, state: tuple,
+                            interpret: bool = False):
+        """All stages, with the LAST one quantizing straight to the cs16
+        wire in its kernel epilogue.  Returns (wire int32, new_state) or
+        (None, None) when the last stage cannot pack (gather fallback, or
+        the kernel path is unavailable) — earlier stages' work is then
+        re-traced by the normal path and deduped by XLA CSE."""
+        new_states = []
+        for i, (stage, (sr, si)) in enumerate(zip(self.stages, state)):
+            if i == len(self.stages) - 1:
+                if not hasattr(stage, "apply_planar_packed"):
+                    return None, None
+                wire, nr, ni = stage.apply_planar_packed(xr, xi, sr, si,
+                                                         interpret)
+                if wire is None:
+                    return None, None
+                new_states.append((nr, ni))
+                return wire, tuple(new_states)
+            xr, xi, nr, ni = stage.apply_planar(xr, xi, sr, si)
+            new_states.append((nr, ni))
+        return None, None          # p == q: no stages
 
     def reset(self, state: tuple) -> tuple:
         return jax.tree_util.tree_map(jnp.zeros_like, state)

@@ -417,12 +417,36 @@ class FoldedChain:
             xr, xi, _, _ = lc.pre_filter.apply_planar(xr, xi, ur, ui)
             new["pre_f"] = (cr, ci)
         if lc.resampler:
+            import os as _os
+
+            from iq_tool_tpu.pipeline import chain as chain_mod
+            pack_last = (lc.post_filter is None
+                         and int(lc.dtheta_post) == 0
+                         and lc.agc_cfg is None
+                         and lc.fmt_out.name == "cs16"
+                         and not _os.environ.get("IQTOOL_DISABLE_PACK_OUT"))
+            interp = _FUSED_INTERPRET or chain_mod._FUSED_POST_INTERPRET
             new_rs = []
-            for si, (stage, st) in enumerate(zip(lc.resampler.stages,
-                                                 carry["rs"])):
+            stages = lc.resampler.stages
+            for si, (stage, st) in enumerate(zip(stages, carry["rs"])):
                 h = st[0].shape[-1]
                 ur, cr = self._shift_rows(xr[:, -h:], st[0])
                 ui, ci = self._shift_rows(xi[:, -h:], st[1])
+                if (pack_last and si == len(stages) - 1
+                        and hasattr(stage, "apply_planar_packed")):
+                    # last stage quantizes + interleaves to the wire in
+                    # its kernel epilogue (see Chain._step)
+                    wire_i32, _, _ = stage.apply_planar_packed(
+                        xr, xi, ur, ui, interpret=interp)
+                    if wire_i32 is not None:
+                        # the folded carry is the per-channel LAST-ROW
+                        # tail from _shift_rows, not the per-row tails
+                        new_rs.append((cr, ci))
+                        new["rs"] = tuple(new_rs)
+                        wire = jax.lax.bitcast_convert_type(wire_i32,
+                                                            jnp.int16)
+                        return new, self._unrows(
+                            wire.reshape(self.rows, -1))
                 xr, xi, _, _ = stage.apply_planar(xr, xi, ur, ui)
                 new_rs.append((cr, ci))
             new["rs"] = tuple(new_rs)

@@ -265,3 +265,21 @@ def test_folded_fused_post_interpret(rng, monkeypatch):
     diff = got.astype(np.int32) - want.astype(np.int32)
     assert np.abs(diff).max() <= 1, np.abs(diff).max()
     assert (diff != 0).mean() < 2e-3, (diff != 0).mean()
+
+
+def test_folded_packed_out_parity(rng, monkeypatch):
+    """Config #1 shape folded: the packed-output last resampler stage
+    (interpret) vs the XLA folded path — bitwise."""
+    from iq_tool_tpu.pipeline import chain as chain_mod
+    from iq_tool_tpu.pipeline.chain import ChainConfig
+
+    cfg = ChainConfig(input_format="cs16", output_format="cs16",
+                      input_rate=2_048_000.0, target_rate=1_488_375.0,
+                      target_block=2048)
+    fc = FoldedChain(cfg, fold=8)
+    raws = _raws(2, fc, rng)
+    want = _run_folded(fc, raws)
+    monkeypatch.setattr(chain_mod, "_FUSED_POST_INTERPRET", True)
+    fc2 = FoldedChain(cfg, fold=8)
+    got = _run_folded(fc2, raws)
+    np.testing.assert_array_equal(got, want)

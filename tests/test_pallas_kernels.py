@@ -318,3 +318,60 @@ def test_fused_pre_wire_chain_parity(rng, monkeypatch):
     # the fused DC recurrence differs from the XLA two-level scan in f32
     # association (same bound as the sharded/folded DC contract)
     assert np.abs(diff).max() <= 4, np.abs(diff).max()
+
+
+def test_banded_pack_cs16_bitwise(rng):
+    """pack_cs16 epilogue vs the planar kernel + convert.from_planar:
+    identical quantization math, so the wire bytes are bitwise equal."""
+    from iq_tool_tpu.ops import convert
+
+    stride, hist, g, nb, ch = 64, 23, 57, 16, 8   # resampler-stage-like
+    n = nb * stride
+    xr = rng.standard_normal((ch, n)).astype(np.float32) * 0.3
+    xi = rng.standard_normal((ch, n)).astype(np.float32) * 0.3
+    sr = rng.standard_normal((ch, hist)).astype(np.float32)
+    si = rng.standard_normal((ch, hist)).astype(np.float32)
+    a_r = rng.standard_normal((stride + hist, g)).astype(np.float32) * 0.05
+    assert pallas_kernels.plan(stride, hist, g, nb, ch) is not None
+    yr, yi = pallas_kernels.banded_apply(sr, si, xr, xi, a_r, None,
+                                         stride, hist, interpret=True)
+    want = np.asarray(convert.from_planar(yr, yi, "cs16"))
+    wire_i32 = pallas_kernels.banded_apply(sr, si, xr, xi, a_r, None,
+                                           stride, hist, interpret=True,
+                                           pack_cs16=True)
+    got = np.asarray(jax.lax.bitcast_convert_type(wire_i32, jnp.int16)
+                     ).reshape(ch, -1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_chain_packed_out_parity(rng, monkeypatch):
+    """Config #1 shape (cs16 -> resample -> cs16, nothing after the
+    resampler): the fully fused wire-in + pack-out path (interpret) vs
+    the XLA chain across carried blocks.  The interpret run puts BOTH
+    stages on the bf16x3 kernel matmuls while the reference runs XLA
+    f32, so the delta is the kernels' established ~4e-5 bound — +-1 code
+    on a small fraction (on hardware both paths share the kernels)."""
+    from iq_tool_tpu.pipeline import chain as chain_mod
+    from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+
+    cfg = ChainConfig(input_format="cs16", output_format="cs16",
+                      input_rate=2_048_000.0, target_rate=1_488_375.0,
+                      target_block=4096)
+    raws = [rng.integers(-2 ** 14, 2 ** 14, (1, Chain(cfg).in_wire_len))
+            .astype(np.int16) for _ in range(3)]
+
+    def run():
+        ch = Chain(cfg)
+        carry = ch.init_carry()
+        outs = []
+        for r in raws:
+            carry, o = ch.step(carry, r, np.False_)
+            outs.append(np.asarray(jax.device_get(o)))
+        return np.concatenate(outs, -1)
+
+    want = run()
+    monkeypatch.setattr(chain_mod, "_FUSED_POST_INTERPRET", True)
+    got = run()
+    diff = got.astype(np.int32) - want.astype(np.int32)
+    assert np.abs(diff).max() <= 1, np.abs(diff).max()
+    assert (diff != 0).mean() < 0.05, (diff != 0).mean()

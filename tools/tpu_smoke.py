@@ -208,6 +208,47 @@ def main() -> int:
     except Exception as e:
         check("wire-input DC kernel == planar kernel", False, str(e)[:200])
 
+    # packed-output banded epilogue: last resampler stage quantizing
+    # straight to the cs16 wire vs planar + convert (bitwise)
+    try:
+        from iq_tool_tpu.ops import convert as _conv
+        from iq_tool_tpu.ops import pallas_kernels as _pk
+        import jax.numpy as _jnp
+        rng = np.random.default_rng(13)
+        stride, hist, g, nb, ch = 512, 23, 441, 8, 8
+        n = nb * stride
+        xr = (rng.standard_normal((ch, n)) * 0.3).astype(np.float32)
+        xi = (rng.standard_normal((ch, n)) * 0.3).astype(np.float32)
+        sr = rng.standard_normal((ch, hist)).astype(np.float32)
+        si = rng.standard_normal((ch, hist)).astype(np.float32)
+        a_r = (rng.standard_normal((stride + hist, g)) * 0.05
+               ).astype(np.float32)
+        yr, yi = _pk.banded_apply(sr, si, xr, xi, a_r, None, stride, hist)
+        want = np.asarray(_conv.from_planar(yr, yi, "cs16"))
+        wire_i32 = _pk.banded_apply(sr, si, xr, xi, a_r, None, stride,
+                                    hist, pack_cs16=True)
+        got = np.asarray(jax.lax.bitcast_convert_type(
+            wire_i32, _jnp.int16)).reshape(ch, -1)
+        d = np.abs(got.astype(np.int32) - want.astype(np.int32))
+        check("banded pack-cs16 epilogue == planar + convert",
+              bool(d.max() == 0), f"maxdiff {d.max()}")
+        # wire-INPUT twin: stage decodes the packed cs16 wire in-register
+        raw16 = rng.integers(-2 ** 15, 2 ** 15, (ch, 2 * n)).astype(np.int16)
+        xr2, xi2 = _conv.to_planar(_jnp.asarray(raw16), "cs16", 1.0)
+        wr, wi = _pk.banded_apply(sr, si, xr2, xi2, a_r, None, stride, hist)
+        wire_in = jax.lax.bitcast_convert_type(
+            _jnp.asarray(raw16).reshape(ch, n, 2), _jnp.int32)
+        gr, gi = _pk.banded_apply(sr, si, None, None, a_r, None, stride,
+                                  hist, wire_i32=wire_in,
+                                  wire_norm=1.0 / 32768.0)
+        md = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                 for a, b in ((gr, wr), (gi, wi)))
+        check("banded wire-input == planar input", md == 0.0,
+              f"max abs diff {md:.2e}")
+    except Exception as e:
+        check("banded pack-cs16 epilogue == planar + convert", False,
+              str(e)[:200])
+
     # fused post-stage kernel (NCO + AGC gains + cs16 quantize/interleave)
     # vs the separate XLA ops, incl. ragged n and the int32 packing
     try:
