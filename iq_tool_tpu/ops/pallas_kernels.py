@@ -328,6 +328,10 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
     Raises ValueError when the geometry is unsupported — gate with
     ``plan()`` (ops/banded.py does).
     """
+    if wire_i32 is not None and not wire_norm:
+        raise ValueError("wire_i32 requires wire_norm (the format "
+                         "normalizer) — a zero norm would mis-parse the "
+                         "kernel's positional refs")
     ch, n = (wire_i32 if wire_i32 is not None else xr).shape
     s = stride
     nb = n // s
@@ -342,6 +346,7 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
     cb, tb, s2, mode = geom
     cell = tb * s
     complex_taps = a_i is not None and np.any(a_i)
+    wire_args = (wire_norm if wire_i32 is not None else 0.0, wire_gain)
 
     grid = (ch // cb, nb // tb)
     bulk_spec = pl.BlockSpec((cb, cell), lambda c, i: (c, i),
@@ -361,13 +366,11 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
             per_mat.append(_split_matrix(a_i, s, hist))
             kern = functools.partial(_shift_kernel_complex, tb=tb, s=s,
                                      hist=hist, g=g, pack=pack_cs16,
-                                     wire=(wire_norm if wire_i32 is not None
-                                           else 0.0, wire_gain))
+                                     wire=wire_args)
         else:
             kern = functools.partial(_shift_kernel, tb=tb, s=s,
                                      hist=hist, g=g, pack=pack_cs16,
-                                     wire=(wire_norm if wire_i32 is not None
-                                           else 0.0, wire_gain))
+                                     wire=wire_args)
         mats = [jnp.asarray(_split_np(m)) for pair in per_mat for m in pair]
         mat_specs = [pl.BlockSpec((2, s, g), lambda c, i: (0, 0, 0),
                                   memory_space=pltpu.VMEM)
@@ -377,14 +380,12 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
         if complex_taps:
             kern = functools.partial(_banded_kernel_complex, tb=tb, s=s,
                                      hist=hist, g=g, pack=pack_cs16,
-                                     wire=(wire_norm if wire_i32 is not None
-                                           else 0.0, wire_gain))
+                                     wire=wire_args)
             mats.append(jnp.asarray(_split_np(a_i)))
         else:
             kern = functools.partial(_banded_kernel, tb=tb, s=s,
                                      hist=hist, g=g, pack=pack_cs16,
-                                     wire=(wire_norm if wire_i32 is not None
-                                           else 0.0, wire_gain))
+                                     wire=wire_args)
         mat_specs = [pl.BlockSpec((2, l, g), lambda c, i: (0, 0, 0),
                                   memory_space=pltpu.VMEM)
                      for _ in mats]

@@ -391,9 +391,11 @@ class Chain:
                 or int(self.dtheta_post) != 0 or self.agc_cfg is not None
                 or self.fmt_out.name != "cs16"):
             return None
-        if (os.environ.get("IQTOOL_DISABLE_WIRE_INPUT")
-                or os.environ.get("IQTOOL_DISABLE_PACK_OUT")):
+        if os.environ.get("IQTOOL_DISABLE_WIRE_INPUT"):
             return None
+        # pack-out is independently killable: the wire-INPUT half still
+        # runs, finishing with the plain convert
+        pack_ok = not os.environ.get("IQTOOL_DISABLE_PACK_OUT")
         if not (banded._on_tpu() or _FUSED_POST_INTERPRET):
             return None
         wire = convert.wire_as_i32(raw, self.fmt_in)
@@ -409,19 +411,26 @@ class Chain:
         if pallas_kernels.plan(st0.stride, st0.hist, st0._a.shape[1],
                                nb0, wire.shape[0]) is None:
             return None
+        pack0 = pack_ok and len(stages) == 1
         res = pallas_kernels.banded_apply(
             sr, si, None, None, st0._a, st0._a_i, st0.stride, st0.hist,
-            interpret=_FUSED_POST_INTERPRET, wire_i32=wire,
-            wire_norm=self.fmt_in.normalizer, wire_gain=cfg.gain)
-        xr, xi = res
+            interpret=_FUSED_POST_INTERPRET, pack_cs16=pack0,
+            wire_i32=wire, wire_norm=self.fmt_in.normalizer,
+            wire_gain=cfg.gain)
         items = self.fmt_in.items_per_frame
         tr, ti = convert.to_planar(raw[:, -st0.hist * items:],
                                    self.fmt_in, cfg.gain)
         new_rs = [(tr, ti)]
+        if pack0:
+            # single-stage cascade: wire in AND out in one kernel
+            new["rs"] = tuple(new_rs)
+            w16 = jax.lax.bitcast_convert_type(res, jnp.int16)
+            return w16.reshape(res.shape[0], -1)
+        xr, xi = res
         for i, stage in enumerate(stages[1:], start=1):
             s_r, s_i = carry["rs"][i]
-            if i == len(stages) - 1 and hasattr(stage,
-                                                "apply_planar_packed"):
+            if (pack_ok and i == len(stages) - 1
+                    and hasattr(stage, "apply_planar_packed")):
                 wire_out, nr, ni = stage.apply_planar_packed(
                     xr, xi, s_r, s_i, interpret=_FUSED_POST_INTERPRET)
                 if wire_out is not None:
@@ -431,8 +440,7 @@ class Chain:
                     return w16.reshape(wire_out.shape[0], -1)
             xr, xi, nr, ni = stage.apply_planar(xr, xi, s_r, s_i)
             new_rs.append((nr, ni))
-        # single-stage cascade (or the last stage declined packing):
-        # finish with the plain convert
+        # pack declined/killed: finish with the plain convert
         new["rs"] = tuple(new_rs)
         return convert.from_planar(xr, xi, self.fmt_out)
 

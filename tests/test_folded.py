@@ -268,18 +268,27 @@ def test_folded_fused_post_interpret(rng, monkeypatch):
 
 
 def test_folded_packed_out_parity(rng, monkeypatch):
-    """Config #1 shape folded: the packed-output last resampler stage
-    (interpret) vs the XLA folded path — bitwise."""
+    """Packed-output last resampler stage on the folded path (interpret)
+    vs the XLA folded path.  Single-stage 441/512 ratio so the last
+    stage actually PLANS (the NRSC5 ratio's last stage declines at small
+    framings, leaving the pack branch untested); delta is the bf16x3
+    kernel bound, +-1 code on a small fraction."""
+    from iq_tool_tpu.ops import pallas_kernels as pk
     from iq_tool_tpu.pipeline import chain as chain_mod
     from iq_tool_tpu.pipeline.chain import ChainConfig
 
     cfg = ChainConfig(input_format="cs16", output_format="cs16",
-                      input_rate=2_048_000.0, target_rate=1_488_375.0,
-                      target_block=2048)
+                      input_rate=2_048_000.0, target_rate=1_764_000.0,
+                      target_block=4096)
     fc = FoldedChain(cfg, fold=8)
+    st = fc.local.resampler.stages[-1]
+    assert pk.plan(st.stride, st.hist, st._a.shape[1],
+                   fc.local.n_in // st.stride, 8) is not None
     raws = _raws(2, fc, rng)
     want = _run_folded(fc, raws)
     monkeypatch.setattr(chain_mod, "_FUSED_POST_INTERPRET", True)
     fc2 = FoldedChain(cfg, fold=8)
     got = _run_folded(fc2, raws)
-    np.testing.assert_array_equal(got, want)
+    diff = got.astype(np.int32) - want.astype(np.int32)
+    assert np.abs(diff).max() <= 1, np.abs(diff).max()
+    assert (diff != 0).mean() < 0.05, (diff != 0).mean()

@@ -347,18 +347,30 @@ def test_banded_pack_cs16_bitwise(rng):
 def test_chain_packed_out_parity(rng, monkeypatch):
     """Config #1 shape (cs16 -> resample -> cs16, nothing after the
     resampler): the fully fused wire-in + pack-out path (interpret) vs
-    the XLA chain across carried blocks.  The interpret run puts BOTH
-    stages on the bf16x3 kernel matmuls while the reference runs XLA
-    f32, so the delta is the kernels' established ~4e-5 bound — +-1 code
-    on a small fraction (on hardware both paths share the kernels)."""
+    the XLA chain across carried blocks.  target_block 131072 makes BOTH
+    stages plan (smaller framings leave the last stage on XLA and the
+    pack branch untested), so the interpret run puts both on the bf16x3
+    kernel matmuls while the reference runs XLA f32 — the delta is the
+    kernels' established ~4e-5 bound, +-1 code on a small fraction (on
+    hardware both paths share the kernels)."""
+    from iq_tool_tpu.ops import pallas_kernels as pk
     from iq_tool_tpu.pipeline import chain as chain_mod
     from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
 
     cfg = ChainConfig(input_format="cs16", output_format="cs16",
                       input_rate=2_048_000.0, target_rate=1_488_375.0,
-                      target_block=4096)
-    raws = [rng.integers(-2 ** 14, 2 ** 14, (1, Chain(cfg).in_wire_len))
-            .astype(np.int16) for _ in range(3)]
+                      target_block=131072)
+    probe = Chain(cfg)
+    # guard against the vacuous-geometry regression: the LAST stage must
+    # actually plan, or the pack branch silently never runs
+    st = probe.resampler.stages[-1]
+    n_last = probe.n_in
+    for stg in probe.resampler.stages[:-1]:
+        n_last = n_last * stg.p // stg.q
+    assert pk.plan(st.stride, st.hist, st._a.shape[1],
+                   n_last // st.stride, 1) is not None
+    raws = [rng.integers(-2 ** 14, 2 ** 14, (1, probe.in_wire_len))
+            .astype(np.int16) for _ in range(2)]
 
     def run():
         ch = Chain(cfg)

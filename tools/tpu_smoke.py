@@ -232,7 +232,22 @@ def main() -> int:
         d = np.abs(got.astype(np.int32) - want.astype(np.int32))
         check("banded pack-cs16 epilogue == planar + convert",
               bool(d.max() == 0), f"maxdiff {d.max()}")
-        # wire-INPUT twin: stage decodes the packed cs16 wire in-register
+    except Exception as e:
+        check("banded pack-cs16 epilogue == planar + convert", False,
+              str(e)[:200])
+
+    # wire-INPUT twin: stage decodes the packed cs16 wire in-register
+    try:
+        from iq_tool_tpu.ops import convert as _conv
+        from iq_tool_tpu.ops import pallas_kernels as _pk
+        import jax.numpy as _jnp
+        rng = np.random.default_rng(14)
+        stride, hist, ch = 512, 23, 8
+        n = 8 * stride
+        a_r = (rng.standard_normal((stride + hist, 441)) * 0.05
+               ).astype(np.float32)
+        sr = rng.standard_normal((ch, hist)).astype(np.float32)
+        si = rng.standard_normal((ch, hist)).astype(np.float32)
         raw16 = rng.integers(-2 ** 15, 2 ** 15, (ch, 2 * n)).astype(np.int16)
         xr2, xi2 = _conv.to_planar(_jnp.asarray(raw16), "cs16", 1.0)
         wr, wi = _pk.banded_apply(sr, si, xr2, xi2, a_r, None, stride, hist)
@@ -246,8 +261,7 @@ def main() -> int:
         check("banded wire-input == planar input", md == 0.0,
               f"max abs diff {md:.2e}")
     except Exception as e:
-        check("banded pack-cs16 epilogue == planar + convert", False,
-              str(e)[:200])
+        check("banded wire-input == planar input", False, str(e)[:200])
 
     # fused post-stage kernel (NCO + AGC gains + cs16 quantize/interleave)
     # vs the separate XLA ops, incl. ragged n and the int32 packing
