@@ -264,6 +264,50 @@ class FoldedChain:
         new["dc"] = dc_block.PlanarDcState(cxr[:, 0], cxi[:, 0], cyr, cyi)
         return yr, yi
 
+    def _wire_stage0(self, raw_rows, carry, pack0=False):
+        """Run the FIRST resampler stage straight off the packed cs16
+        wire (nothing precedes the resampler): the kernel de-interleaves
+        and normalizes in-register, so the conversion pass never touches
+        HBM (FoldedChain twin of Chain._fused_wire_resample's input
+        half).  With ``pack0`` (single-stage cascade, nothing after) the
+        SAME kernel also quantizes back to the wire in its epilogue.
+        Returns (out0, out1, stage0 carry, packed) or None — packed
+        means out0 is the int32 wire and out1 is None."""
+        import os
+
+        from iq_tool_tpu.ops import banded, pallas_kernels
+        from iq_tool_tpu.pipeline import chain as chain_mod
+        lc = self.local
+        if os.environ.get("IQTOOL_DISABLE_WIRE_INPUT"):
+            return None
+        interp = _FUSED_INTERPRET or chain_mod._FUSED_POST_INTERPRET
+        if not (banded._on_tpu() or interp):
+            return None
+        stages = lc.resampler.stages
+        if not stages or not hasattr(stages[0], "stride"):
+            return None
+        wire = convert.wire_as_i32(raw_rows, lc.fmt_in)
+        if wire is None:
+            return None
+        st0 = stages[0]
+        if pallas_kernels.plan(st0.stride, st0.hist, st0._a.shape[1],
+                               wire.shape[-1] // st0.stride,
+                               self.rows) is None:
+            return None
+        items = lc.fmt_in.items_per_frame
+        lr, li = convert.to_planar(raw_rows[:, -st0.hist * items:],
+                                   lc.fmt_in, lc.cfg.gain)
+        ur, cr = self._shift_rows(lr, carry["rs"][0][0])
+        ui, ci = self._shift_rows(li, carry["rs"][0][1])
+        res = pallas_kernels.banded_apply(
+            ur, ui, None, None, st0._a, st0._a_i, st0.stride, st0.hist,
+            interpret=interp, pack_cs16=pack0, wire_i32=wire,
+            wire_norm=lc.fmt_in.normalizer, wire_gain=lc.cfg.gain)
+        if pack0:
+            return res, None, (cr, ci), True
+        yr, yi = res
+        return yr, yi, (cr, ci), False
+
     def _dc_folded_plane(self, x, x_prev_use, carry_y, alpha):
         """Exact cross-row first-order IIR on one real plane (XLA path)."""
         n = x.shape[-1]
@@ -375,10 +419,27 @@ class FoldedChain:
         n = lc.n_in
 
         fused = None
+        wire_rs = None
         if cfg.dc_block:
             fused = self._fused_pre_folded(raw_rows, carry, new)
+        elif (not cfg.iq_correction and int(lc.dtheta_pre) == 0
+                and lc.pre_filter is None and lc.resampler is not None):
+            import os as _os
+            pack0 = (len(lc.resampler.stages) == 1
+                     and lc.post_filter is None
+                     and int(lc.dtheta_post) == 0 and lc.agc_cfg is None
+                     and lc.fmt_out.name == "cs16"
+                     and not _os.environ.get("IQTOOL_DISABLE_PACK_OUT"))
+            wire_rs = self._wire_stage0(raw_rows, carry, pack0)
         if fused is not None:
             xr, xi = fused
+        elif wire_rs is not None:
+            if wire_rs[3]:
+                # single-stage: wire in AND out in ONE kernel
+                new["rs"] = (wire_rs[2],)
+                w16 = jax.lax.bitcast_convert_type(wire_rs[0], jnp.int16)
+                return new, self._unrows(w16.reshape(self.rows, -1))
+            xr, xi = wire_rs[0], wire_rs[1]
         else:
             xr, xi = convert.to_planar(raw_rows, self.fmt_in, cfg.gain)
             if cfg.dc_block:
@@ -428,7 +489,12 @@ class FoldedChain:
             interp = _FUSED_INTERPRET or chain_mod._FUSED_POST_INTERPRET
             new_rs = []
             stages = lc.resampler.stages
-            for si, (stage, st) in enumerate(zip(stages, carry["rs"])):
+            start = 0
+            if wire_rs is not None:
+                new_rs.append(wire_rs[2])   # stage 0 consumed the wire
+                start = 1
+            for si in range(start, len(stages)):
+                stage, st = stages[si], carry["rs"][si]
                 h = st[0].shape[-1]
                 ur, cr = self._shift_rows(xr[:, -h:], st[0])
                 ui, ci = self._shift_rows(xi[:, -h:], st[1])

@@ -292,3 +292,31 @@ def test_folded_packed_out_parity(rng, monkeypatch):
     diff = got.astype(np.int32) - want.astype(np.int32)
     assert np.abs(diff).max() <= 1, np.abs(diff).max()
     assert (diff != 0).mean() < 0.05, (diff != 0).mean()
+
+
+def test_folded_multistage_pack_branch(rng, monkeypatch):
+    """The folded resampler LOOP's pack branch (multi-stage cascade, last
+    stage plans): wire-in consumes stage 0, stage 1 packs out.  896 kHz
+    target -> 2 stages, both planning at rows=8."""
+    from iq_tool_tpu.ops import pallas_kernels as pk
+    from iq_tool_tpu.pipeline import chain as chain_mod
+    from iq_tool_tpu.pipeline.chain import ChainConfig
+
+    cfg = ChainConfig(input_format="cs16", output_format="cs16",
+                      input_rate=2_048_000.0, target_rate=896_000.0,
+                      target_block=8192)
+    fc = FoldedChain(cfg, fold=8)
+    stages = fc.local.resampler.stages
+    assert len(stages) == 2
+    n1 = fc.local.n_in * stages[0].p // stages[0].q
+    assert pk.plan(stages[1].stride, stages[1].hist,
+                   stages[1]._a.shape[1], n1 // stages[1].stride,
+                   8) is not None
+    raws = _raws(2, fc, rng)
+    want = _run_folded(fc, raws)
+    monkeypatch.setattr(chain_mod, "_FUSED_POST_INTERPRET", True)
+    fc2 = FoldedChain(cfg, fold=8)
+    got = _run_folded(fc2, raws)
+    diff = got.astype(np.int32) - want.astype(np.int32)
+    assert np.abs(diff).max() <= 1, np.abs(diff).max()
+    assert (diff != 0).mean() < 0.05, (diff != 0).mean()
