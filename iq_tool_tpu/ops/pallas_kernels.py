@@ -116,20 +116,26 @@ def _shift_rows(b, h, st, *, cb, tb, s, hist):
     return rows, prev_rows
 
 
-def _banded_inputs(refs, n_mats, wire_norm, wire_gain):
+def _banded_inputs(refs, n_mats, wire_norm, wire_gain,
+                   dtheta=0, cell=0, s2=0):
     """Split a banded kernel's positional refs into decoded VALUES.
 
     Planar layout: (xr_b, xr_h, xr_st, xi_b, xi_h, xi_st, mats..., outs...).
-    Wire layout:   (w_b, w_h, st_r, st_i, mats..., outs...) — the packed
-    int32 cs16 wire is de-interleaved and normalized in-register, so the
-    separate conversion pass never touches HBM (the input twin of the
-    pack_cs16 output epilogue)."""
+    Wire layout:   (w_b, w_h, st_r, st_i, [phase], mats..., outs...) —
+    the packed int32 cs16 wire is de-interleaved and normalized
+    in-register, so the separate conversion pass never touches HBM (the
+    input twin of the pack_cs16 output epilogue).  With ``dtheta`` the
+    decoded samples are also NCO-mixed at their global indices (bulk at
+    i*cell, halo at i*cell - s2; tile 0's halo is unused garbage and the
+    carried state arrives PRE-rotated from the caller), fusing the
+    pre-resample frequency shift into the same pass."""
     refs = list(refs)
     if wire_norm:
         wb = refs.pop(0)[...]
         wh = refs.pop(0)[...]
         st_r = refs.pop(0)[...]
         st_i = refs.pop(0)[...]
+        ph_ref = refs.pop(0) if dtheta else None
 
         def dec(v):
             xr = (((v << 16) >> 16).astype(jnp.float32)
@@ -140,6 +146,14 @@ def _banded_inputs(refs, n_mats, wire_norm, wire_gain):
 
         xrb, xib = dec(wb)
         xrh, xih = dec(wh)
+        if dtheta:
+            i = pl.program_id(1)
+            base_b = jnp.int32(i) * jnp.int32(cell)
+            xrb, xib = _nco_mix_base(ph_ref, base_b, xrb.shape[0],
+                                     xrb.shape[-1], dtheta, xrb, xib)
+            xrh, xih = _nco_mix_base(ph_ref, base_b - jnp.int32(s2),
+                                     xrh.shape[0], xrh.shape[-1],
+                                     dtheta, xrh, xih)
         plane_r = (xrb, xrh, st_r)
         plane_i = (xib, xih, st_i)
     else:
@@ -309,7 +323,8 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
                  stride: int, hist: int,
                  interpret: bool = False, pack_cs16: bool = False,
                  wire_i32: jnp.ndarray | None = None,
-                 wire_norm: float = 0.0, wire_gain: float = 1.0):
+                 wire_norm: float = 0.0, wire_gain: float = 1.0,
+                 nco_dtheta: int = 0, nco_phase: jnp.ndarray | None = None):
     """Fused strided-window banded matmul.
 
     state_*: (C, hist) carried tap history (precedes this block's x);
@@ -323,7 +338,11 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
 
     With ``wire_i32`` (+ wire_norm/wire_gain), the INPUT is the packed
     int32 cs16 wire de-interleaved and normalized in-register (xr/xi may
-    be None; the carried state stays planar f32).
+    be None; the carried state stays planar f32).  ``nco_dtheta`` +
+    ``nco_phase`` (C, 1 uint32, phase of this block's first sample)
+    additionally NCO-mix the decoded samples at their global indices —
+    the pre-resample frequency shift fused into the same pass (the
+    carried state must arrive PRE-rotated).
 
     Raises ValueError when the geometry is unsupported — gate with
     ``plan()`` (ops/banded.py does).
@@ -332,6 +351,9 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
         raise ValueError("wire_i32 requires wire_norm (the format "
                          "normalizer) — a zero norm would mis-parse the "
                          "kernel's positional refs")
+    nco_dtheta = int(nco_dtheta) & 0xFFFFFFFF
+    if nco_dtheta and (wire_i32 is None or nco_phase is None):
+        raise ValueError("nco_dtheta needs wire mode and nco_phase")
     ch, n = (wire_i32 if wire_i32 is not None else xr).shape
     s = stride
     nb = n // s
@@ -346,7 +368,8 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
     cb, tb, s2, mode = geom
     cell = tb * s
     complex_taps = a_i is not None and np.any(a_i)
-    wire_args = (wire_norm if wire_i32 is not None else 0.0, wire_gain)
+    wire_args = (wire_norm if wire_i32 is not None else 0.0, wire_gain,
+                 nco_dtheta, cell, s2)
 
     grid = (ch // cb, nb // tb)
     bulk_spec = pl.BlockSpec((cb, cell), lambda c, i: (c, i),
@@ -408,9 +431,15 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
                      jax.ShapeDtypeStruct((ch, nb, g), jnp.float32))
         out_bytes = 2 * ch * nb * g * 4
     if wire_i32 is not None:
+        ph_specs = []
+        ph_args = []
+        if nco_dtheta:
+            ph_specs = [pl.BlockSpec((cb, 1), lambda c, i: (c, 0),
+                                     memory_space=pltpu.VMEM)]
+            ph_args = [nco_phase]
         in_specs = [bulk_spec, halo_spec, state_spec, state_spec,
-                    *mat_specs]
-        args = (wire_i32, wire_i32, state_r, state_i, *mats)
+                    *ph_specs, *mat_specs]
+        args = (wire_i32, wire_i32, state_r, state_i, *ph_args, *mats)
         in_bytes = 4 * ch * n + 2 * 4 * ch * hist
     else:
         in_specs = [bulk_spec, halo_spec, state_spec,
@@ -827,13 +856,12 @@ def osfft_apply(ext_r: jnp.ndarray, ext_i: jnp.ndarray, h: tuple,
 
 # --------------------------- fused post-stage kernel ---------------------------
 
-def _nco_mix(ph_ref, block_idx, cb, cell, dtheta, yr, yi):
-    """In-kernel NCO mix at the global sample index, shared by _dc_kernel
-    and _post_kernel: wrapping int32 arithmetic == uint32 mod 2^32, and
-    the SIGNED value maps to the same angle mod 2pi (Mosaic cannot cast
-    uint32 -> f32)."""
-    idx = (jax.lax.broadcasted_iota(jnp.int32, (cb, cell), 1)
-           + jnp.int32(block_idx) * jnp.int32(cell))
+def _nco_mix_base(ph_ref, base, cb, width, dtheta, yr, yi):
+    """In-kernel NCO mix at global sample index base + lane (shared by
+    _dc_kernel, _post_kernel, and the banded wire decode): wrapping int32
+    arithmetic == uint32 mod 2^32, and the SIGNED value maps to the same
+    angle mod 2pi (Mosaic cannot cast uint32 -> f32)."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (cb, width), 1) + base
     ph0 = pltpu.bitcast(ph_ref[...], jnp.int32)
     dth_i32 = jnp.int32(np.int64(dtheta) - (1 << 32)
                         if dtheta >= (1 << 31) else dtheta)
@@ -842,6 +870,11 @@ def _nco_mix(ph_ref, block_idx, cb, cell, dtheta, yr, yi):
         2.0 * np.pi / 4294967296.0)
     c_, s_ = jnp.cos(ang), jnp.sin(ang)
     return yr * c_ - yi * s_, yr * s_ + yi * c_
+
+
+def _nco_mix(ph_ref, block_idx, cb, cell, dtheta, yr, yi):
+    return _nco_mix_base(ph_ref, jnp.int32(block_idx) * jnp.int32(cell),
+                         cb, cell, dtheta, yr, yi)
 
 
 def _post_kernel(xr_ref, xi_ref, g_ref, *rest, cb, cell, seg_m, dtheta,

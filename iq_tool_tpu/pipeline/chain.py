@@ -385,7 +385,7 @@ class Chain:
         output wire or None (caller runs the normal path)."""
         from iq_tool_tpu.ops import banded
         cfg = self.cfg
-        if (cfg.dc_block or cfg.iq_correction or int(self.dtheta_pre) != 0
+        if (cfg.dc_block or cfg.iq_correction
                 or self.pre_filter is not None or self.resampler is None
                 or self.post_filter is not None
                 or int(self.dtheta_post) != 0 or self.agc_cfg is not None
@@ -412,14 +412,27 @@ class Chain:
                                nb0, wire.shape[0]) is None:
             return None
         pack0 = pack_ok and len(stages) == 1
+        dth = int(self.dtheta_pre)
+        pacc = carry["nco_pre"][:, None] if dth else None
         res = pallas_kernels.banded_apply(
             sr, si, None, None, st0._a, st0._a_i, st0.stride, st0.hist,
             interpret=_FUSED_POST_INTERPRET, pack_cs16=pack0,
             wire_i32=wire, wire_norm=self.fmt_in.normalizer,
-            wire_gain=cfg.gain)
+            wire_gain=cfg.gain, nco_dtheta=dth, nco_phase=pacc)
         items = self.fmt_in.items_per_frame
+        n_frames = wire.shape[-1]
         tr, ti = convert.to_planar(raw[:, -st0.hist * items:],
                                    self.fmt_in, cfg.gain)
+        if dth:
+            # the carried resampler history is the POST-shift signal:
+            # rotate the stored tail at its global indices
+            ph_tail = (carry["nco_pre"]
+                       + jnp.uint32((n_frames - st0.hist) & 0xFFFFFFFF)
+                       * jnp.uint32(dth))
+            tr, ti, _ = nco.apply_planar(tr, ti, ph_tail, self.dtheta_pre)
+            new["nco_pre"] = (carry["nco_pre"]
+                              + jnp.uint32(n_frames & 0xFFFFFFFF)
+                              * jnp.uint32(dth))
         new_rs = [(tr, ti)]
         if pack0:
             # single-stage cascade: wire in AND out in one kernel

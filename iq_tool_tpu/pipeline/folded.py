@@ -294,19 +294,29 @@ class FoldedChain:
                                wire.shape[-1] // st0.stride,
                                self.rows) is None:
             return None
+        n_sub = lc.n_in
+        dth = int(lc.dtheta_pre)
+        pacc = (self._row_phases(carry["nco_pre"], n_sub,
+                                 lc.dtheta_pre)[:, None] if dth else None)
         items = lc.fmt_in.items_per_frame
         lr, li = convert.to_planar(raw_rows[:, -st0.hist * items:],
                                    lc.fmt_in, lc.cfg.gain)
+        if dth:
+            # the carried history is the POST-shift signal: rotate each
+            # row's stored tail at its global indices
+            ph_tail = (pacc[:, 0]
+                       + jnp.uint32((n_sub - st0.hist) & 0xFFFFFFFF)
+                       * jnp.uint32(dth))
+            lr, li, _ = nco.apply_planar(lr, li, ph_tail, lc.dtheta_pre)
         ur, cr = self._shift_rows(lr, carry["rs"][0][0])
         ui, ci = self._shift_rows(li, carry["rs"][0][1])
         res = pallas_kernels.banded_apply(
             ur, ui, None, None, st0._a, st0._a_i, st0.stride, st0.hist,
             interpret=interp, pack_cs16=pack0, wire_i32=wire,
-            wire_norm=lc.fmt_in.normalizer, wire_gain=lc.cfg.gain)
-        if pack0:
-            return res, None, (cr, ci), True
-        yr, yi = res
-        return yr, yi, (cr, ci), False
+            wire_norm=lc.fmt_in.normalizer, wire_gain=lc.cfg.gain,
+            nco_dtheta=dth, nco_phase=pacc)
+        return (res, None, (cr, ci), True) if pack0 else (*res, (cr, ci),
+                                                          False)
 
     def _dc_folded_plane(self, x, x_prev_use, carry_y, alpha):
         """Exact cross-row first-order IIR on one real plane (XLA path)."""
@@ -422,7 +432,7 @@ class FoldedChain:
         wire_rs = None
         if cfg.dc_block:
             fused = self._fused_pre_folded(raw_rows, carry, new)
-        elif (not cfg.iq_correction and int(lc.dtheta_pre) == 0
+        elif (not cfg.iq_correction
                 and lc.pre_filter is None and lc.resampler is not None):
             import os as _os
             pack0 = (len(lc.resampler.stages) == 1
@@ -434,6 +444,10 @@ class FoldedChain:
         if fused is not None:
             xr, xi = fused
         elif wire_rs is not None:
+            if int(lc.dtheta_pre) != 0:
+                new["nco_pre"] = (carry["nco_pre"]
+                                  + jnp.uint32(self.n_in & 0xFFFFFFFF)
+                                  * lc.dtheta_pre)
             if wire_rs[3]:
                 # single-stage: wire in AND out in ONE kernel
                 new["rs"] = (wire_rs[2],)
@@ -456,7 +470,7 @@ class FoldedChain:
                 xr, xi = yr, yi
                 new["dc"] = dc_block.PlanarDcState(cxr[:, 0], cxi[:, 0],
                                                    cyr, cyi)
-        if fused is None and cfg.iq_correction:
+        if fused is None and wire_rs is None and cfg.iq_correction:
             nf = C.IQ_FFT_SIZE
             seg_r = xr.reshape(self.channels, self.fold, n)[:, 0, :nf]
             seg_i = xi.reshape(self.channels, self.fold, n)[:, 0, :nf]
@@ -465,7 +479,7 @@ class FoldedChain:
                 advance_samples=self.n_in)
             xr, xi = iq_balance.apply_planar(xr, xi,
                                              self._rep(new["iq"].factors))
-        if fused is None and int(lc.dtheta_pre) != 0:
+        if fused is None and wire_rs is None and int(lc.dtheta_pre) != 0:
             phase = self._row_phases(carry["nco_pre"], n, lc.dtheta_pre)
             xr, xi, _ = nco.apply_planar(xr, xi, phase, lc.dtheta_pre)
             new["nco_pre"] = (carry["nco_pre"]

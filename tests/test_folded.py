@@ -252,7 +252,9 @@ def test_checkpoint_interchange_folded_unfolded(tmp_path, rng):
 
 def test_folded_fused_post_interpret(rng, monkeypatch):
     """The fused post kernel on the folded path (interpret) vs the XLA
-    folded path: per-row NCO phases + cross-row AGC gain schedule."""
+    folded path: per-row NCO phases + cross-row AGC gain schedule.  The
+    interpret run now ALSO puts stage 0 on the wire-decode kernel
+    (bf16x3), so the +-1-code fraction is the kernel-wide bound."""
     from iq_tool_tpu.pipeline import chain as chain_mod
 
     cfg = _cfg(dc=False)          # post NCO -25 kHz + local AGC in _cfg
@@ -264,7 +266,7 @@ def test_folded_fused_post_interpret(rng, monkeypatch):
     got = _run_folded(fc_k, raws)
     diff = got.astype(np.int32) - want.astype(np.int32)
     assert np.abs(diff).max() <= 1, np.abs(diff).max()
-    assert (diff != 0).mean() < 2e-3, (diff != 0).mean()
+    assert (diff != 0).mean() < 0.05, (diff != 0).mean()
 
 
 def test_folded_packed_out_parity(rng, monkeypatch):
@@ -312,6 +314,32 @@ def test_folded_multistage_pack_branch(rng, monkeypatch):
     assert pk.plan(stages[1].stride, stages[1].hist,
                    stages[1]._a.shape[1], n1 // stages[1].stride,
                    8) is not None
+    raws = _raws(2, fc, rng)
+    want = _run_folded(fc, raws)
+    monkeypatch.setattr(chain_mod, "_FUSED_POST_INTERPRET", True)
+    fc2 = FoldedChain(cfg, fold=8)
+    got = _run_folded(fc2, raws)
+    diff = got.astype(np.int32) - want.astype(np.int32)
+    assert np.abs(diff).max() <= 1, np.abs(diff).max()
+    assert (diff != 0).mean() < 0.05, (diff != 0).mean()
+
+
+def test_folded_wire_nco_parity(rng, monkeypatch):
+    """Config #2 shape folded (shift -> resample, lowpass fused into a
+    stage): the wire-decode + fused per-row pre-NCO path (interpret) vs
+    the XLA folded path; also guards against the shift being applied
+    TWICE (kernel + fallback section)."""
+    from iq_tool_tpu.ops.fir_design import FilterRequest
+    from iq_tool_tpu.pipeline import chain as chain_mod
+    from iq_tool_tpu.pipeline.chain import ChainConfig
+
+    cfg = ChainConfig(input_format="cs16", output_format="cs16",
+                      input_rate=2_048_000.0, target_rate=1_488_375.0,
+                      freq_shift_pre_hz=250_000.0,
+                      filters=[FilterRequest("lowpass", 400_000.0)],
+                      target_block=2048)
+    fc = FoldedChain(cfg, fold=8)
+    assert fc.local.pre_filter is None       # fused into a stage
     raws = _raws(2, fc, rng)
     want = _run_folded(fc, raws)
     monkeypatch.setattr(chain_mod, "_FUSED_POST_INTERPRET", True)

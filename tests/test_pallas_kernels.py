@@ -387,3 +387,74 @@ def test_chain_packed_out_parity(rng, monkeypatch):
     diff = got.astype(np.int32) - want.astype(np.int32)
     assert np.abs(diff).max() <= 1, np.abs(diff).max()
     assert (diff != 0).mean() < 0.05, (diff != 0).mean()
+
+
+def test_banded_wire_nco_decode(rng):
+    """Wire mode + fused pre-NCO: decode -> rotate at global indices ->
+    banded matmul, vs the separate XLA ops (to_planar -> nco -> banded
+    windows).  The carried state arrives pre-rotated in both."""
+    from iq_tool_tpu.ops import banded as bnd
+    from iq_tool_tpu.ops import convert, nco
+
+    stride, hist, g, nb, ch = 64, 23, 57, 16, 8
+    n = nb * stride
+    dth = np.uint32(123456789)
+    pacc = rng.integers(0, 2 ** 32, (ch,), dtype=np.uint32)
+    raw = rng.integers(-2 ** 15, 2 ** 15, (ch, 2 * n)).astype(np.int16)
+    a_r = rng.standard_normal((stride + hist, g)).astype(np.float32) * 0.05
+    sr = rng.standard_normal((ch, hist)).astype(np.float32)
+    si = rng.standard_normal((ch, hist)).astype(np.float32)
+
+    xr, xi = convert.to_planar(jnp.asarray(raw), "cs16", 1.0)
+    xr, xi, _ = nco.apply_planar(xr, xi, jnp.asarray(pacc), dth)
+    ext_r = jnp.concatenate([jnp.asarray(sr), xr], axis=-1)
+    ext_i = jnp.concatenate([jnp.asarray(si), xi], axis=-1)
+    wr = bnd.build_windows(ext_r, stride, hist)
+    wi = bnd.build_windows(ext_i, stride, hist)
+    want_r, want_i = bnd.window_matmul_planar(wr, wi, a_r, None)
+
+    wire = jax.lax.bitcast_convert_type(
+        jnp.asarray(raw).reshape(ch, n, 2), jnp.int32)
+    got_r, got_i = pallas_kernels.banded_apply(
+        jnp.asarray(sr), jnp.asarray(si), None, None, a_r, None,
+        stride, hist, interpret=True, wire_i32=wire,
+        wire_norm=1.0 / 32768.0, nco_dtheta=int(dth),
+        nco_phase=jnp.asarray(pacc)[:, None])
+    for gv, wv in zip((got_r, got_i), (want_r, want_i)):
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(wv),
+                                   atol=2e-4)
+
+
+def test_chain_wire_nco_parity(rng, monkeypatch):
+    """Config #2 shape (cs16 -> shift -> resample -> fused lowpass ->
+    cs16): the wire-decode + fused pre-NCO + pack-out path (interpret)
+    vs the XLA chain across carried blocks (bf16x3 +-1-code bound)."""
+    from iq_tool_tpu.ops.fir_design import FilterRequest
+    from iq_tool_tpu.pipeline import chain as chain_mod
+    from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+
+    cfg = ChainConfig(input_format="cs16", output_format="cs16",
+                      input_rate=2_048_000.0, target_rate=1_488_375.0,
+                      freq_shift_pre_hz=250_000.0,
+                      filters=(FilterRequest("lowpass", 400_000.0),),
+                      target_block=131072)
+    probe = Chain(cfg)
+    assert probe.pre_filter is None          # lowpass fused into a stage
+    raws = [rng.integers(-2 ** 14, 2 ** 14, (1, probe.in_wire_len))
+            .astype(np.int16) for _ in range(2)]
+
+    def run():
+        ch = Chain(cfg)
+        carry = ch.init_carry()
+        outs = []
+        for r in raws:
+            carry, o = ch.step(carry, r, np.False_)
+            outs.append(np.asarray(jax.device_get(o)))
+        return np.concatenate(outs, -1)
+
+    want = run()
+    monkeypatch.setattr(chain_mod, "_FUSED_POST_INTERPRET", True)
+    got = run()
+    diff = got.astype(np.int32) - want.astype(np.int32)
+    assert np.abs(diff).max() <= 1, np.abs(diff).max()
+    assert (diff != 0).mean() < 0.05, (diff != 0).mean()
