@@ -897,7 +897,9 @@ def _post_kernel(xr_ref, xi_ref, g_ref, *rest, cb, cell, seg_m, dtheta,
         yr, yi = _nco_mix(ph_ref, i, cb, cell, dtheta, yr, yi)
     if seg_m:
         # per-128-sample segment gains: expand (cb, seg_m) across lanes
-        g3 = g_ref[...][:, :, None]                      # (cb, seg_m, 1)
+        # (the host laid gains out (grid_i, C, seg_m) so this block's last
+        # two dims match the array — Mosaic's lane/sublane block rule)
+        g3 = g_ref[0][:, :, None]                        # (cb, seg_m, 1)
         yr = (yr.reshape(cb, seg_m, _LANES) * g3).reshape(cb, cell)
         yi = (yi.reshape(cb, seg_m, _LANES) * g3).reshape(cb, cell)
     else:
@@ -936,17 +938,24 @@ def post_apply(xr: jnp.ndarray, xi: jnp.ndarray, gains: jnp.ndarray,
     cb = 8 if ch % 8 == 0 else ch
     cell = min(32 * t, t * ((n + t - 1) // t))
     seg_m = cell // t if seg else 0
+    grid = (ch // cb, -(-n // cell))
     if seg:
+        # Lay the gains out (grid_i, C, seg_m): Mosaic requires a block's
+        # last two dims be (mult-of-8 | ==array, mult-of-128 | ==array),
+        # and a (cb, seg_m) block of a (C, n//128) array violates the lane
+        # rule (seg_m == cell/128 < 128).  The 3-D layout makes the block's
+        # trailing dims exactly match the array's; the transpose is an XLA
+        # op on a tiny (C, n/128) array.
         have = gains.shape[-1]
-        need = (n + t - 1) // t
+        need = grid[1] * seg_m
         if have < need:
             gains = jnp.concatenate(
                 [gains, jnp.repeat(gains[:, -1:], need - have, axis=-1)],
                 axis=-1)
-    grid = (ch // cb, -(-n // cell))
+        gains = gains[:, :need].reshape(ch, grid[1], seg_m).transpose(1, 0, 2)
     x_spec = pl.BlockSpec((cb, cell), lambda c, i: (c, i),
                           memory_space=pltpu.VMEM)
-    g_spec = (pl.BlockSpec((cb, seg_m), lambda c, i: (c, i),
+    g_spec = (pl.BlockSpec((1, cb, seg_m), lambda c, i: (i, c, 0),
                            memory_space=pltpu.VMEM) if seg
               else pl.BlockSpec((cb, 1), lambda c, i: (c, 0),
                                 memory_space=pltpu.VMEM))

@@ -38,15 +38,13 @@ def skip(name: str, reason: str) -> None:
 
 
 def tone_file(path: str, n: int, fmt: str = "cs16", f_hz: float = 100e3) -> None:
-    import jax
-
-    from iq_tool_tpu.ops import convert
+    # pure-numpy oracle quantizer: test INPUT generation must not depend on
+    # the device under test (and a flaky axon client must not be able to
+    # crash the sweep before the CLI checks even run)
+    from tests import ref_dsp
     t = np.arange(n) / RATE_IN
     x = 0.5 * np.exp(2j * np.pi * f_hz * t).astype(np.complex64)
-    wire = np.asarray(jax.jit(
-        lambda r, i: convert.from_planar(r, i, fmt))(
-            np.real(x)[None], np.imag(x)[None]))[0]
-    wire.tofile(path)
+    ref_dsp.from_cf32(x, fmt).tofile(path)
 
 
 def out_snr(path: str, fmt: str, rate: float, skip: int = 20000):
