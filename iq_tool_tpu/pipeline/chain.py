@@ -136,6 +136,9 @@ class Chain:
                                    cfg.filter_fft_size)
         self.pre_filter = filt if stage == "pre" else None
         self.post_filter = filt if stage == "post" else None
+        # any filter riding the FFT overlap-save path (vs banded MXU)?
+        # consulted by the wire-input gate in _fused_pre
+        self._has_fft_filter = filt is not None and not filt._exec_banded
 
         # --- block geometry: resampler framing + filter block constraints ---
         tb = cfg.target_block
@@ -280,9 +283,15 @@ class Chain:
         # packed int32 view of the interleaved wire: the kernel
         # de-interleaves and normalizes in-register, so the separate
         # conversion pass never touches HBM (None for non-cs16 formats
-        # or under the operational kill-switch)
-        wire = (None if os.environ.get("IQTOOL_DISABLE_WIRE_INPUT")
-                else convert.wire_as_i32(raw, self.fmt_in))
+        # or under the operational kill-switch).  Exception, measured on
+        # v5e: with BOTH iq_correction and an FFT-path filter in the
+        # chain, the wire-input form flips XLA's latency-hiding
+        # scheduler into a pathological ordering (temp arena 9.6 GB vs
+        # 1.0 GB, config #4 1158 vs 1836 Msps) even though the op graph
+        # is near-identical — the planar form is faster there.
+        skip_wire = (os.environ.get("IQTOOL_DISABLE_WIRE_INPUT")
+                     or (cfg.iq_correction and self._has_fft_filter))
+        wire = None if skip_wire else convert.wire_as_i32(raw, self.fmt_in)
         xr = xi = None
         if wire is None:
             xr, xi = convert.to_planar(raw, self.fmt_in, cfg.gain)
@@ -293,8 +302,15 @@ class Chain:
             if wire is None:
                 pr, pi_ = xr[:, :m], xi[:, :m]
             else:
-                pr, pi_ = convert.to_planar(raw[:, : m * items],
-                                            self.fmt_in, cfg.gain)
+                # decode the estimator segment from the WIRE view, not
+                # from raw: a second consumer of raw makes XLA keep the
+                # whole int16 input live across the step (measured: temp
+                # arena 9.6 GB vs 1.0 GB, config #4 1158 vs 1836 Msps)
+                w = wire[:, :m]
+                norm = jnp.float32(self.fmt_in.normalizer)
+                g = jnp.float32(cfg.gain)
+                pr = (((w << 16) >> 16).astype(jnp.float32) * norm) * g
+                pi_ = ((w >> 16).astype(jnp.float32) * norm) * g
             seg_r, _, _ = dc_block._apply_plane(
                 pr, st.xr_prev, st.yr_prev, self.dc_alpha)
             seg_i, _, _ = dc_block._apply_plane(

@@ -195,7 +195,11 @@ class FoldedChain:
         a_l = jnp.float32(a_real ** n)
 
         import os
-        wire = (None if os.environ.get("IQTOOL_DISABLE_WIRE_INPUT")
+        # same measured gate as Chain._fused_pre: iq_correction + an
+        # FFT-path filter + wire input trips a pathological XLA schedule
+        skip_wire = (os.environ.get("IQTOOL_DISABLE_WIRE_INPUT")
+                     or (cfg.iq_correction and lc._has_fft_filter))
+        wire = (None if skip_wire
                 else convert.wire_as_i32(raw_rows, lc.fmt_in))
         xr = xi = None
         if wire is None:
