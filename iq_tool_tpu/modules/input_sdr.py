@@ -24,6 +24,7 @@ from __future__ import annotations
 import ctypes
 import ctypes.util
 import os
+import sys
 import threading
 import time
 from typing import Iterator
@@ -80,6 +81,46 @@ def bladerf_transfer_samples(sample_rate_hz: float) -> int:
     n = int(sample_rate_hz * 0.25)
     n = max(4096, min(16384, n))
     return (n // 1024) * 1024
+
+
+#: bladerf_fpga_size enum (bladeRF.h) -> hosted bitstream filename
+#: (input_bladerf.c:806-812).
+BLADERF_FPGA_FILENAMES = {
+    40: "hostedx40.rbf",      # BLADERF_FPGA_40KLE
+    115: "hostedx115.rbf",    # BLADERF_FPGA_115KLE
+    49: "hostedxA4.rbf",      # BLADERF_FPGA_A4
+    77: "hostedxA5.rbf",      # BLADERF_FPGA_A5
+    301: "hostedxA9.rbf",     # BLADERF_FPGA_A9
+}
+
+
+def bladerf_fpga_filename(fpga_size: int) -> str:
+    """Map the device's reported FPGA size to the hosted bitstream name
+    (input_bladerf.c:806-812); unknown sizes are a hard error there too
+    (:813-815)."""
+    try:
+        return BLADERF_FPGA_FILENAMES[int(fpga_size)]
+    except KeyError:
+        raise ValueError(
+            f"unknown or unsupported BladeRF FPGA size ({fpga_size}); "
+            "cannot determine the FPGA file (input_bladerf.c:813-815)"
+        ) from None
+
+
+def bladerf_fpga_search_paths(filename: str) -> list:
+    """Candidate paths for an auto-loaded bitstream, probed in order
+    (input_bladerf.c:873-877: exe dir, its parent, then the system share
+    dirs, each + fpga/bladerf/<name>).  IQTOOL_BLADERF_FPGA_DIR, when
+    set, is an explicit single directory checked first — the runtime
+    analog of the reference's manual dependency-path overrides."""
+    bases = []
+    override = os.environ.get("IQTOOL_BLADERF_FPGA_DIR")
+    if override:
+        return [os.path.join(override, filename)]
+    exe_dir = os.path.dirname(os.path.abspath(sys.argv[0] or "."))
+    bases += [exe_dir, os.path.dirname(exe_dir)]
+    bases += ["/usr/local/share/iq_tool_tpu", "/usr/share/iq_tool_tpu"]
+    return [os.path.join(b, "fpga", "bladerf", filename) for b in bases]
 
 
 def hackrf_validate_rate(rate_hz: float) -> None:
@@ -859,13 +900,30 @@ class BladeRfInput(_SdrInputBase):
         from iq_tool_tpu.formats import get_format
         self._fmt = get_format("cs8" if bits == 8 else "sc16q11")
         dev = ctypes.c_void_p()
-        if lib.bladerf_open(ctypes.byref(dev), None) != 0:
+        # BLADERF_ERR_UPDATE_FPGA (-8) is a successful open that still
+        # needs a bitstream (input_bladerf.c:317) — the load below fixes it
+        st = lib.bladerf_open(ctypes.byref(dev), None)
+        if st not in (0, -8):
             raise ValueError("no BladeRF device could be opened")
         self._dev = dev
         fpga = getattr(args, "bladerf_load_fpga", None)
         if fpga:
+            log.info("Manual FPGA load requested: %s", fpga)
             if lib.bladerf_load_fpga(dev, fpga.encode()) != 0:
                 raise ValueError(f"FPGA load failed: {fpga}")
+            log.info("Manual FPGA loaded successfully.")
+        else:
+            # input_bladerf.c:334-347: query the FPGA state; when not
+            # configured, find + load the hosted bitstream automatically
+            st = lib.bladerf_is_fpga_configured(dev)
+            if st < 0:
+                raise ValueError("failed to query BladeRF FPGA state")
+            if st == 0:
+                log.info("BladeRF FPGA not configured; attempting to find "
+                         "and load it automatically...")
+                self._autoload_fpga(lib, dev, log)
+            else:
+                log.info("BladeRF FPGA is already configured. Proceeding.")
         ch = (int(getattr(args, "bladerf_channel", 0) or 0) << 1) | 0
         self._ch = ch
         lib.bladerf_set_frequency.argtypes = [ctypes.c_void_p, ctypes.c_int,
@@ -923,6 +981,31 @@ class BladeRfInput(_SdrInputBase):
         self._xfer = bladerf_transfer_samples(self._rate)
         return SourceInfo(sample_rate=self._rate,
                           sample_format=self._fmt.name, total_frames=None)
+
+    @staticmethod
+    def _autoload_fpga(lib, dev, log) -> None:
+        """FPGA auto-detect + auto-load (input_bladerf.c:794-894): query
+        the FPGA size, map it to the hosted*.rbf name, probe the search
+        paths in order, and load the first hit."""
+        size = ctypes.c_int(0)
+        if lib.bladerf_get_fpga_size(dev, ctypes.byref(size)) != 0:
+            raise ValueError("could not determine BladeRF FPGA size")
+        filename = bladerf_fpga_filename(size.value)
+        for path in bladerf_fpga_search_paths(filename):
+            if not os.access(path, os.F_OK):
+                continue
+            log.info("Found FPGA file at: %s", path)
+            if lib.bladerf_load_fpga(dev, path.encode()) != 0:
+                raise ValueError(
+                    f"found FPGA file, but failed to load it: {path}")
+            log.info("Automatic FPGA load successful.")
+            return
+        raise ValueError(
+            f"could not automatically find the required FPGA file "
+            f"'{filename}'; place it in fpga/bladerf/ next to the "
+            f"executable or a system share dir, point "
+            f"IQTOOL_BLADERF_FPGA_DIR at its directory, or pass "
+            f"--bladerf-load-fpga (input_bladerf.c:892-894)")
 
     def _start_hardware(self) -> None:
         def reader():

@@ -11,8 +11,10 @@
 
 #include <math.h>
 #include <stdint.h>
+#include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
+#include <unistd.h>
 
 #define FAKE_HZ 100000.0
 
@@ -41,7 +43,48 @@ int bladerf_open(void **out, const char *ident) {
 }
 
 int bladerf_close(void *d) { (void)d; return 0; }
-int bladerf_load_fpga(void *d, const char *f) { (void)d; (void)f; return 0; }
+
+/* FPGA state machine (input_bladerf.c:334-347, 794-894 counterpart):
+ * FAKE_BLADERF_FPGA_CONFIGURED=0 makes the device report an unloaded
+ * FPGA, FAKE_BLADERF_FPGA_SIZE picks the bladerf_fpga_size enum value
+ * (default 301 = BLADERF_FPGA_A9), and a successful bladerf_load_fpga
+ * flips the configured flag and appends the loaded path to
+ * FAKE_BLADERF_FPGA_LOG so tests can assert which file was chosen. */
+static int g_fpga_configured = -2;   /* -2 = read env on first use */
+
+static int fpga_configured_init(void) {
+    if (g_fpga_configured == -2) {
+        const char *v = getenv("FAKE_BLADERF_FPGA_CONFIGURED");
+        g_fpga_configured = v ? atoi(v) : 1;
+    }
+    return g_fpga_configured;
+}
+
+int bladerf_is_fpga_configured(void *d) {
+    (void)d;
+    return fpga_configured_init();
+}
+
+int bladerf_get_fpga_size(void *d, int *size) {
+    (void)d;
+    const char *v = getenv("FAKE_BLADERF_FPGA_SIZE");
+    *size = v ? atoi(v) : 301;
+    return 0;
+}
+
+int bladerf_load_fpga(void *d, const char *f) {
+    (void)d;
+    if (!f || access(f, R_OK) != 0)
+        return -1;                           /* unreadable bitstream */
+    const char *logp = getenv("FAKE_BLADERF_FPGA_LOG");
+    if (logp) {
+        FILE *fp = fopen(logp, "a");
+        if (fp) { fprintf(fp, "%s\n", f); fclose(fp); }
+    }
+    fpga_configured_init();
+    g_fpga_configured = 1;
+    return 0;
+}
 int bladerf_enable_feature(void *d, int feat, int on) { (void)d; (void)feat; (void)on; return 0; }
 
 int bladerf_set_sample_rate(void *d, int ch, unsigned rate, unsigned *actual) {

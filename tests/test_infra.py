@@ -404,6 +404,8 @@ def test_bladerf_mock_driver(monkeypatch):
                         return -1
                     ctypes.memset(a[1], 9, 1024)
                     return 0
+                if name == "bladerf_is_fpga_configured":
+                    return 1          # already flashed -> no autoload
                 return 0
             return fn
 
@@ -468,6 +470,8 @@ def test_bladerf_oversample_mode(monkeypatch):
                     got.num = 0
                     got.den = 1
                     return 0
+                if name == "bladerf_is_fpga_configured":
+                    return 1          # already flashed -> no autoload
                 return 0
             return fn
 

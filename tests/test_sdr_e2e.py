@@ -27,6 +27,69 @@ def test_bladerf_fake_driver_cli_e2e(tmp_path):
     assert snr > 60.0, snr         # 12-bit source clears the 60 dB budget
 
 
+def test_bladerf_fpga_autoload_e2e(tmp_path):
+    """FPGA auto-detect + auto-load (input_bladerf.c:794-894): the fake
+    device reports an unconfigured FPGA of size A9 (301); the module must
+    pick hostedxA9.rbf from the search dir, load it, and stream."""
+    fpga_dir = tmp_path / "fpga_store"
+    fpga_dir.mkdir()
+    (fpga_dir / "hostedxA9.rbf").write_bytes(b"\x00" * 64)
+    loadlog = tmp_path / "fpga_loads.log"
+    n = 1 << 17
+    out = str(tmp_path / "out.raw")
+    rc, so, se = sdr_e2e.run_bounded(
+        "bladerf", n, out, cpu=True, timeout=540,
+        env_extra={"FAKE_BLADERF_FPGA_CONFIGURED": "0",
+                   "FAKE_BLADERF_FPGA_SIZE": "301",
+                   "FAKE_BLADERF_FPGA_LOG": str(loadlog),
+                   "IQTOOL_BLADERF_FPGA_DIR": str(fpga_dir)})
+    assert rc == 0, se[-500:]
+    loaded = loadlog.read_text().splitlines()
+    assert loaded == [str(fpga_dir / "hostedxA9.rbf")]
+    sdr_e2e.check_tone(out, snr_floor=55.0,
+                       expected_frames=n * 11907 // 16384)
+
+
+def test_bladerf_fpga_autoload_missing_file_errors(tmp_path):
+    """No bitstream anywhere on the search path -> clear startup error
+    naming the wanted file (input_bladerf.c:892-894), nonzero exit."""
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    out = str(tmp_path / "out.raw")
+    rc, so, se = sdr_e2e.run_bounded(
+        "bladerf", 1 << 16, out, cpu=True, timeout=540,
+        env_extra={"FAKE_BLADERF_FPGA_CONFIGURED": "0",
+                   "FAKE_BLADERF_FPGA_SIZE": "115",
+                   "IQTOOL_BLADERF_FPGA_DIR": str(empty)})
+    assert rc != 0
+    assert "hostedx115.rbf" in (so + se)
+
+
+def test_bladerf_fpga_size_mapping():
+    """Size enum -> filename map and the unknown-size error
+    (input_bladerf.c:806-815)."""
+    import pytest as _pytest
+
+    from iq_tool_tpu.modules.input_sdr import (bladerf_fpga_filename,
+                                               bladerf_fpga_search_paths)
+    assert bladerf_fpga_filename(40) == "hostedx40.rbf"
+    assert bladerf_fpga_filename(115) == "hostedx115.rbf"
+    assert bladerf_fpga_filename(49) == "hostedxA4.rbf"
+    assert bladerf_fpga_filename(77) == "hostedxA5.rbf"
+    assert bladerf_fpga_filename(301) == "hostedxA9.rbf"
+    with _pytest.raises(ValueError, match="unknown or unsupported"):
+        bladerf_fpga_filename(0)
+    # default search order: exe dir, parent, system share dirs — all
+    # ending in fpga/bladerf/<name> (input_bladerf.c:873-877)
+    import os
+    os.environ.pop("IQTOOL_BLADERF_FPGA_DIR", None)
+    paths = bladerf_fpga_search_paths("hostedx40.rbf")
+    assert len(paths) == 4
+    assert all(p.endswith(os.path.join("fpga", "bladerf", "hostedx40.rbf"))
+               for p in paths)
+    assert any(p.startswith("/usr/local/share/") for p in paths)
+
+
 def test_hackrf_fake_driver_cli_e2e(tmp_path):
     """libusb-async RX callbacks from a driver thread (cs8); the stream
     never ends on its own, so the run is bounded by SIGTERM — the

@@ -57,7 +57,8 @@ def build_fake(driver: str, dst_dir: str) -> str:
     return out
 
 
-def _env(driver: str, lib: str, n_frames: int, cpu: bool) -> dict:
+def _env(driver: str, lib: str, n_frames: int, cpu: bool,
+         env_extra: dict | None = None) -> dict:
     env = dict(os.environ)
     env[DRIVERS[driver][2]] = lib
     env["FAKE_RTLSDR_FRAMES"] = str(n_frames)
@@ -66,6 +67,8 @@ def _env(driver: str, lib: str, n_frames: int, cpu: bool) -> dict:
     if cpu:
         env.pop("PYTHONPATH", None)       # the axon sitecustomize
         env["JAX_PLATFORMS"] = "cpu"
+    if env_extra:
+        env.update(env_extra)
     return env
 
 
@@ -79,12 +82,13 @@ def _argv(driver: str, out_path: str, extra=()) -> list:
 
 
 def run_bounded(driver: str, n_frames: int, out_path: str, cpu: bool = False,
-                extra=(), timeout: float = 600.0):
+                extra=(), timeout: float = 600.0,
+                env_extra: dict | None = None):
     """Bounded-stream drivers (rtlsdr, bladerf): run to EOS."""
     with tempfile.TemporaryDirectory() as d:
         lib = build_fake(driver, d)
         r = subprocess.run(_argv(driver, out_path, extra), cwd=REPO,
-                           env=_env(driver, lib, n_frames, cpu),
+                           env=_env(driver, lib, n_frames, cpu, env_extra),
                            capture_output=True, text=True, timeout=timeout)
         return r.returncode, r.stdout, r.stderr
 
