@@ -221,9 +221,12 @@ class ShardedChain:
         new_carry_y = ends[self.t - 1] + a_l * starts_arr[self.t - 1]
         return y, new_carry_y
 
-    def _agc_sharded(self, xr, xi, state, cfg):
+    def _agc_sharded(self, xr, xi, state, cfg, dig_pk=None):
         if cfg.profile == "digital":
-            peak_local = jnp.sqrt(jnp.max(xr * xr + xi * xi, axis=-1))
+            # dig_pk is the PRE-post-NCO local peak measured in step()
+            # (must match the single-device paths' measurement point)
+            peak_local = (dig_pk if dig_pk is not None
+                          else jnp.sqrt(jnp.max(xr * xr + xi * xi, axis=-1)))
             peak = jax.lax.pmax(peak_local, "time")
             n_total = xr.shape[-1] * self.t
             gain, new_state = agc_ops.digital_update(state, peak, n_total, cfg)
@@ -438,6 +441,12 @@ class ShardedChain:
             use, new["post_f"] = self._halo(tail2(xr, xi, b), carry["post_f"])
             xr, xi, _, _ = lc.post_filter.apply_planar(
                 xr, xi, use[:, :b], use[:, b:])
+        # digital AGC: measure the block peak pre-NCO, matching the
+        # single-device fused and XLA paths (Chain._step): the profile's
+        # hard thresholds must see the same float value everywhere
+        dig_pk = None
+        if lc.agc_cfg is not None and lc.agc_cfg.profile == "digital":
+            dig_pk = jnp.sqrt(jnp.max(xr * xr + xi * xi, axis=-1))
         if int(lc.dtheta_post) != 0:
             n_out_sub = lc.n_out
             phase = (carry["nco_post"]
@@ -449,7 +458,7 @@ class ShardedChain:
                                * lc.dtheta_post)
         if lc.agc_cfg:
             xr, xi, new["agc"] = self._agc_sharded(xr, xi, carry["agc"],
-                                                   lc.agc_cfg)
+                                                   lc.agc_cfg, dig_pk)
         out = convert.from_planar(xr, xi, lc.fmt_out)
         return new, out
 

@@ -531,12 +531,27 @@ class Chain:
         fused_out = self._fused_post(xr, xi, carry, new)
         if fused_out is not None:
             return new, fused_out
+        # digital AGC: measure the block peak BEFORE the post-NCO, exactly
+        # where the fused kernel path measures it.  Rotation preserves
+        # magnitude in exact math, but the digital profile compares hard
+        # thresholds (clip/strong, agc.c:180-209): a ~1-ulp rotation
+        # rounding could flip a lock/ratchet decision and propagate a
+        # different gain forever.  Pinning the measurement point makes
+        # the fused and XLA decisions bitwise-identical.
+        dig_gain = None
+        if self.agc_cfg is not None and self.agc_cfg.profile == "digital":
+            pk = jnp.sqrt(jnp.max(xr * xr + xi * xi, axis=-1))
+            dig_gain, new["agc"] = agc_ops.digital_update(
+                carry["agc"], pk, xr.shape[-1], self.agc_cfg)
         if int(self.dtheta_post) != 0:
             xr, xi, new["nco_post"] = nco.apply_planar(
                 xr, xi, carry["nco_post"], self.dtheta_post)
         if self.agc_cfg:
-            xr, xi, new["agc"] = agc_ops.apply_planar(
-                xr, xi, carry["agc"], self.agc_cfg)
+            if dig_gain is not None:
+                xr, xi = xr * dig_gain[:, None], xi * dig_gain[:, None]
+            else:
+                xr, xi, new["agc"] = agc_ops.apply_planar(
+                    xr, xi, carry["agc"], self.agc_cfg)
         out = convert.from_planar(xr, xi, self.fmt_out)
         return new, out
 

@@ -543,6 +543,12 @@ class FoldedChain:
         fused_out = self._fused_post_folded(xr, xi, carry, new)
         if fused_out is not None:
             return new, self._unrows(fused_out)
+        # digital AGC: peak measured pre-NCO, exactly as the fused path
+        # does (see Chain._step) — pins the fused/XLA lock decisions
+        dig_gain = None
+        if lc.agc_cfg is not None and lc.agc_cfg.profile == "digital":
+            dig_gain, _, new["agc"] = self._agc_folded_gains(
+                xr, xi, carry["agc"], lc.agc_cfg)
         if int(lc.dtheta_post) != 0:
             phase = self._row_phases(carry["nco_post"], lc.n_out,
                                      lc.dtheta_post)
@@ -551,8 +557,11 @@ class FoldedChain:
                                + jnp.uint32(self.n_out & 0xFFFFFFFF)
                                * lc.dtheta_post)
         if lc.agc_cfg:
-            xr, xi, new["agc"] = self._agc_folded(xr, xi, carry["agc"],
-                                                  lc.agc_cfg)
+            if dig_gain is not None:
+                xr, xi = xr * dig_gain, xi * dig_gain
+            else:
+                xr, xi, new["agc"] = self._agc_folded(xr, xi, carry["agc"],
+                                                      lc.agc_cfg)
         out = convert.from_planar(xr, xi, self.fmt_out)
         return new, self._unrows(out)
 

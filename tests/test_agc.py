@@ -83,3 +83,71 @@ def test_reset():
     r = agc.reset(st)
     assert np.all(np.asarray(r.gain) == 1.0)
     assert not np.any(np.asarray(r.locked))
+
+
+def test_digital_fused_xla_decision_equivalence(monkeypatch):
+    """Adversarial threshold-tie stream: the fused post-kernel path and
+    the XLA fallback must make bitwise-identical digital lock/clip/creep
+    decisions.  Both paths now measure the block peak PRE-post-NCO
+    (rotation preserves magnitude in exact math; pinning the measurement
+    point pins the float tie-breaks at agc.c:180-209's hard thresholds),
+    so the carried AgcState must match exactly — one flipped decision
+    would propagate a different gain forever."""
+    import jax
+
+    from iq_tool_tpu.pipeline import chain as chain_mod
+    from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+
+    rate = 16384.0
+    cfg = ChainConfig(input_format="cs16", output_format="cs16",
+                      input_rate=rate, target_rate=None,
+                      freq_shift_post_hz=1000.0,
+                      agc_profile="digital", target_block=16384)
+    probe = Chain(cfg)
+    n = probe.in_wire_len // 2            # frames per block
+
+    def block(code: int) -> np.ndarray:
+        """Constant-magnitude block: I = code, Q = 0 -> exact peak."""
+        raw = np.zeros((1, 2 * n), np.int16)
+        raw[0, 0::2] = code
+        return raw
+
+    # locked gain will be f32(0.9) / 0.5; craft peaks whose product with
+    # it sits within ~1 ulp of the clip (1.0) and strong (0.675)
+    # thresholds, plus a weak run long enough to reach the creep branch
+    g_lock = np.float32(0.9) / np.float32(0.5)
+    clip_code = int(round(32768.0 / float(g_lock)))
+    strong_code = int(round(0.675 / float(g_lock) * 32768.0))
+    codes = ([16384] * 4                                   # scan -> lock
+             + [clip_code - 1, clip_code, clip_code + 1]   # clip ties
+             + [strong_code - 1, strong_code, strong_code + 1]
+             + [2000] * 6                                  # hang -> creep
+             + [clip_code, clip_code - 1])
+    raws = [block(c) for c in codes]
+
+    def run():
+        ch = Chain(cfg)
+        carry = ch.init_carry()
+        states, outs = [], []
+        for r in raws:
+            carry, o = ch.step(carry, r, np.False_)
+            states.append(jax.device_get(carry["agc"]))
+            outs.append(np.asarray(jax.device_get(o)))
+        return states, outs
+
+    xla_states, xla_outs = run()
+    monkeypatch.setattr(chain_mod, "_FUSED_POST_INTERPRET", True)
+    fused_states, fused_outs = run()
+
+    for i, (a, b) in enumerate(zip(xla_states, fused_states)):
+        for f in a._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+                err_msg=f"block {i} (code {codes[i]}) field {f}")
+    # and the decisions actually exercised the branches
+    assert bool(np.asarray(xla_states[3].locked)[0])
+    assert not bool(np.asarray(xla_states[2].locked)[0])
+    # outputs stay within the accepted fused-vs-XLA quantize contract
+    d = np.abs(np.concatenate(xla_outs, -1).astype(np.int32)
+               - np.concatenate(fused_outs, -1).astype(np.int32))
+    assert d.max() <= 1, d.max()
