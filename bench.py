@@ -70,8 +70,9 @@ def measure_cpu_baseline() -> float:
 
 def measure_tpu(channels: int = int(os.environ.get("IQ_BENCH_CHANNELS", 128)),
                 block: int = int(os.environ.get("IQ_BENCH_BLOCK", 1 << 18)),
-                reps: int = int(os.environ.get("IQ_BENCH_REPS", 3))) -> float:
-    """Honest steady-state throughput.
+                reps: int = int(os.environ.get("IQ_BENCH_REPS", 3)),
+                cfg=None) -> float:
+    """Honest steady-state throughput (cfg=None -> the flagship chain).
 
     Two gotchas of remote PJRT backends (axon) are handled explicitly:
     * ``block_until_ready`` can return before the device actually runs the
@@ -88,18 +89,21 @@ def measure_tpu(channels: int = int(os.environ.get("IQ_BENCH_CHANNELS", 128)),
     from iq_tool_tpu.ops.fir_design import FilterRequest
     from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
 
-    chain = Chain(ChainConfig(
-        input_format="cs16", output_format="cs16",
-        input_rate=IN_RATE, target_rate=OUT_RATE,
-        channels=channels,
-        dc_block=True,
-        freq_shift_pre_hz=100_000.0,
-        filters=[FilterRequest("lowpass", LOWPASS_HZ)],
-        target_block=block,
-    ))
+    if cfg is None:
+        cfg = ChainConfig(
+            input_format="cs16", output_format="cs16",
+            input_rate=IN_RATE, target_rate=OUT_RATE,
+            channels=channels,
+            dc_block=True,
+            freq_shift_pre_hz=100_000.0,
+            filters=[FilterRequest("lowpass", LOWPASS_HZ)],
+            target_block=block,
+        )
+    chain = Chain(cfg)
     rng = np.random.default_rng(0)
     raw = rng.integers(-2 ** 15, 2 ** 15,
                        (channels, chain.in_wire_len)).astype(np.int16)
+    raw = raw.astype(chain.in_wire_dtype)
     raw_dev = jax.device_put(raw)
 
     def make(n_steps: int):
@@ -195,11 +199,35 @@ def main():
         pass
 
     value = measure_tpu()
+    # regression canary for the hard kernels (VERDICT r3 #8): config #4
+    # exercises the DFT overlap-save engine + both NCOs + IQ + AGC; a
+    # regression there would be invisible in the flagship number alone
+    extra = {}
+    if not os.environ.get("IQ_BENCH_FLAGSHIP_ONLY"):
+        try:
+            from iq_tool_tpu.ops.fir_design import FilterRequest
+            from iq_tool_tpu.pipeline.chain import ChainConfig
+            channels = int(os.environ.get("IQ_BENCH_CHANNELS", 128))
+            cfg4 = ChainConfig(
+                input_format="cs16", output_format="cs16",
+                input_rate=IN_RATE, target_rate=OUT_RATE,
+                channels=channels, dc_block=True, iq_correction=True,
+                freq_shift_pre_hz=100e3, freq_shift_post_hz=-50e3,
+                filters=[FilterRequest("stop-range", 0.0, 10e3)],
+                agc_profile="local",
+                target_block=int(os.environ.get("IQ_BENCH_BLOCK", 1 << 18)))
+            extra["configs"] = {
+                "1_flagship": round(value, 2),
+                "4_full_notch": round(measure_tpu(cfg=cfg4), 2),
+            }
+        except Exception as e:
+            extra["configs"] = {"error": str(e)[:200]}
     print(json.dumps({
         "metric": "complex Msamples/s/chip (resample+filter chain, input rate)",
         "value": round(value, 2),
         "unit": "Msamples/s",
         "vs_baseline": round(value / baseline, 2),
+        **extra,
     }))
 
 
