@@ -57,63 +57,108 @@ def _pick_halo(cell: int, hist: int) -> int | None:
     return None
 
 
-def plan(stride: int, hist: int, g: int, nb: int, ch: int):
+_SHIFT_PARTS_CAP = 4     # max row-shifted matmuls (bounds pad flops + VMEM)
+
+
+def plan(stride: int, hist: int, g: int, nb: int, ch: int,
+         dc: bool = False):
     """(cb, tb, s2, mode) tile plan or None when the geometry cannot lower.
 
     cb: channels per block (8 when 8 | C, else all of C);
-    tb: windows per block (divides nb, div-8 or == nb, lane-aligned tile);
+    tb: windows per block (div-8 or == nb, lane-aligned tile; when no
+    divisor of nb fits, a non-dividing tb gives a RAGGED grid — Pallas
+    masks the partial last tile);
     s2: halo block width (128-multiple divisor of the tile);
-    mode: 'shift' (two row-shifted matmuls; needs hist <= s and s
-    lane-aligned) or 'assemble' (in-VMEM lane-granular window build).
+    mode: 'shift' (k row-shifted matmuls, k = ceil((s+hist)/s) <= 4;
+    needs s lane-aligned) or 'assemble' (in-VMEM lane-granular window
+    build; only for hist <= stride — Mosaic miscompiles wide multi-piece
+    lane concats, see the DC kernel's VMEM-scratch workaround).
+
+    With ``dc`` (the fused DC-recurrence prologue, wire input): the tile
+    must divide nb exactly (a masked ragged tile would corrupt the
+    sequential DC carry), the cell is capped so the recurrence's subtile
+    unroll stays small, the processed left context must fit the cell,
+    and VMEM additionally holds the triangular matrix + two y-buffers.
     """
     if hist <= 0 or nb <= 0:
         return None
-    # window assembly concatenates ceil(l/s) lane pieces; keep it to the
-    # well-tested 2-piece regime (Mosaic miscompiles wide multi-piece lane
-    # concats — see the DC kernel's VMEM-scratch workaround)
-    if hist > stride:
-        return None
     cb = 8 if ch % 8 == 0 else ch
     l = stride + hist
-    # 'shift' trades lane-granular window assembly for a second matmul of
-    # contraction depth s; measured on v5e the extra MXU passes cost more
-    # than the assembly they save whenever hist << s, so it is only used
-    # when the history is a large fraction of the stride.
-    mode = ("shift" if (stride % _LANES == 0
-                        and stride // 2 < hist <= stride)
-            else "assemble")
-    halo_floor = stride if mode == "shift" else hist
+    parts = -(-l // stride)
+    if hist > stride:
+        # beyond one stride of history only the shift formulation is
+        # safe; it needs a lane-aligned stride and a bounded part count
+        if stride % _LANES or parts > _SHIFT_PARTS_CAP:
+            return None
+        mode = "shift"
+    else:
+        # 'shift' trades lane-granular window assembly for a second
+        # matmul of contraction depth s; measured on v5e the extra MXU
+        # passes cost more than the assembly they save whenever
+        # hist << s, so it is only used when the history is a large
+        # fraction of the stride.
+        mode = ("shift" if (stride % _LANES == 0
+                            and stride // 2 < hist <= stride)
+                else "assemble")
+    halo_floor = (parts - 1) * stride if mode == "shift" else hist
+    mat_rows = parts * stride if mode == "shift" else l
+    w_ctx = (parts - 1) * stride if mode == "shift" else hist
 
     def bytes_for(tb):
         cell = tb * stride
-        return 4 * cb * (2 * cell + 2 * tb * l + 2 * tb * g) + 8 * l * g
+        b = (4 * cb * (2 * cell + 2 * tb * l + 2 * tb * g)
+             + 8 * mat_rows * g)
+        if dc:
+            b += 4 * 128 * 128 + 4 * cb * (2 * cell + 2 * w_ctx)
+        return b
 
-    for tb in range(nb, 0, -1):
-        if nb % tb or (tb % 8 and tb != nb) or (tb * stride) % _LANES:
-            continue
+    def fits(tb):
+        if (tb % 8 and tb != nb) or (tb * stride) % _LANES:
+            return None
+        cell = tb * stride
+        if dc and (cell > 32 * _LANES or cell % _LANES or w_ctx > cell):
+            return None
         if bytes_for(tb) > _VMEM_BUDGET:
+            return None
+        s2 = _pick_halo(cell, halo_floor)
+        if s2 is None and dc:
+            return 0      # dc mode reads no halo (left ctx from scratch)
+        return s2
+
+    # exact divisors first (no masked tail); ragged tiles as the fallback
+    for tb in range(nb, 0, -1):
+        if nb % tb:
             continue
-        s2 = _pick_halo(tb * stride, halo_floor)
+        s2 = fits(tb)
         if s2 is not None:
             return cb, tb, s2, mode
+    if not dc:
+        for tb in range(8 * (nb // 8), 0, -8):
+            s2 = fits(tb)
+            if s2 is not None:
+                return cb, tb, s2, mode
     return None
 
 
-def _shift_rows(b, h, st, *, cb, tb, s, hist):
-    """(rows, prev_rows) for the shift formulation: window row j =
-    [tail of row j-1, row j].  Row -1 comes from the left halo (or the
-    carried state on the first time tile, spliced into its tail lanes;
-    the splice's leading lanes hit A1's zero rows).  Inputs are VALUES
-    (already decoded from the wire in wire mode)."""
+def _shift_rows(b, h, st, *, cb, tb, s, hist, parts=2):
+    """List of m-back row tensors for the k-part shift formulation:
+    window j = concat(r_{j-(k-1)}, ..., r_{j-1}, r_j)[k*s - l:], so
+    win @ A = sum_m rows_back[m] @ A_chunk[k-1-m].  The (k-1)*s left
+    context comes from the left halo (or the carried state on the first
+    time tile, spliced into its tail lanes; the splice's leading lanes
+    hit the top chunk's zero rows).  Inputs are VALUES (already decoded
+    from the wire in wire mode).  Returns [rows_back_0 (= rows), ...,
+    rows_back_{k-1}]."""
     i = pl.program_id(1)
     rows = b.reshape(cb, tb, s)
-    halo_row = h[:, h.shape[-1] - s:]
-    state_row = jnp.concatenate(
-        [jnp.zeros((cb, s - hist), rows.dtype), st], axis=-1)
-    prev0 = jnp.where(i == 0, state_row, halo_row)
-    prev_rows = jnp.concatenate([prev0[:, None, :], rows[:, :-1, :]],
-                                axis=1)
-    return rows, prev_rows
+    ctx_w = (parts - 1) * s
+    halo_ctx = h[:, h.shape[-1] - ctx_w:]
+    state_ctx = jnp.concatenate(
+        [jnp.zeros((cb, ctx_w - hist), rows.dtype), st], axis=-1)
+    ctx = jnp.where(i == 0, state_ctx, halo_ctx).reshape(cb, parts - 1, s)
+    full = jnp.concatenate([ctx, rows], axis=1)   # (cb, tb + parts-1, s)
+    return [full[:, parts - 1 - m:parts - 1 - m + tb, :]
+            for m in range(parts)]
 
 
 def _banded_inputs(refs, n_mats, wire_norm, wire_gain,
@@ -190,44 +235,56 @@ def _banded_write(outs, yr, yi, pack):
         outs[1][...] = yi
 
 
-def _shift_kernel(*refs, tb, s, hist, g, pack=False, wire=(0.0, 1.0)):
-    """Fast path (hist <= s, s lane-aligned): win @ A = prev_rows @ A1 +
-    rows @ A2 with A split at the history boundary — two clean matmuls,
-    zero lane-granular shuffling (see _shift_rows)."""
-    pr_, pi_, (a1, a2), outs = _banded_inputs(refs, 2, *wire)
+def _shift_kernel(*refs, tb, s, hist, g, parts=2, pack=False,
+                  wire=(0.0, 1.0)):
+    """Fast path (s lane-aligned): win @ A = sum_m rows_back[m] @
+    A_chunk[k-1-m] with A split into k = ceil((s+hist)/s) stride-sized
+    chunks — k clean matmuls, zero lane-granular shuffling (see
+    _shift_rows)."""
+    pr_, pi_, chunks, outs = _banded_inputs(refs, parts, *wire)
     cb = pr_[0].shape[0]
-    a1m, a2m = a1[...], a2[...]
+    cvals = [c[...] for c in chunks]
 
     def plane(vals):
-        rows, prev_rows = _shift_rows(*vals, cb=cb, tb=tb, s=s, hist=hist)
-        return (_mm(prev_rows, a1m, cb, tb, g)
-                + _mm(rows, a2m, cb, tb, g))
+        back = _shift_rows(*vals, cb=cb, tb=tb, s=s, hist=hist, parts=parts)
+        acc = _mm(back[0], cvals[parts - 1], cb, tb, g)
+        for m in range(1, parts):
+            acc = acc + _mm(back[m], cvals[parts - 1 - m], cb, tb, g)
+        return acc
 
     _banded_write(outs, plane(pr_), plane(pi_), pack)
 
 
-def _shift_kernel_complex(*refs, tb, s, hist, g, pack=False,
+def _shift_kernel_complex(*refs, tb, s, hist, g, parts=2, pack=False,
                           wire=(0.0, 1.0)):
-    pl_r, pl_i, (a1r, a2r, a1i, a2i), outs = _banded_inputs(refs, 4, *wire)
+    pl_r, pl_i, chunks, outs = _banded_inputs(refs, 2 * parts, *wire)
     cb = pl_r[0].shape[0]
-    rr, pr = _shift_rows(*pl_r, cb=cb, tb=tb, s=s, hist=hist)
-    ri, pi_ = _shift_rows(*pl_i, cb=cb, tb=tb, s=s, hist=hist)
+    cr = [c[...] for c in chunks[:parts]]
+    ci = [c[...] for c in chunks[parts:]]
+    br = _shift_rows(*pl_r, cb=cb, tb=tb, s=s, hist=hist, parts=parts)
+    bi = _shift_rows(*pl_i, cb=cb, tb=tb, s=s, hist=hist, parts=parts)
 
-    def conv(rows, prev, m1, m2):
-        return _mm(prev, m1, cb, tb, g) + _mm(rows, m2, cb, tb, g)
+    def conv(back, cv):
+        acc = _mm(back[0], cv[parts - 1], cb, tb, g)
+        for m in range(1, parts):
+            acc = acc + _mm(back[m], cv[parts - 1 - m], cb, tb, g)
+        return acc
 
-    yr = conv(rr, pr, a1r[...], a2r[...]) - conv(ri, pi_, a1i[...], a2i[...])
-    yi = conv(ri, pi_, a1r[...], a2r[...]) + conv(rr, pr, a1i[...], a2i[...])
+    yr = conv(br, cr) - conv(bi, ci)
+    yi = conv(bi, cr) + conv(br, ci)
     _banded_write(outs, yr, yi, pack)
 
 
-def _split_matrix(a: np.ndarray, s: int, hist: int):
-    """A (s+hist, G) -> (A1, A2) both (s, G): win @ A = prev @ A1 + row @ A2."""
-    g = a.shape[1]
-    a1 = np.zeros((s, g), a.dtype)
-    a1[s - hist:, :] = a[:hist, :]
-    a2 = np.ascontiguousarray(a[hist:, :])
-    return a1, a2
+def _split_matrix(a: np.ndarray, s: int, hist: int, parts: int = 2):
+    """A (s+hist, G) -> k chunks of (s, G): zero-pad A on top to k*s rows,
+    then chunk_k = Apad[k*s:(k+1)*s]; win @ A = sum_m rows_back[m] @
+    chunk[k-1-m].  For k=2 this is the classic split at the history
+    boundary (chunk0 = zeros(s-hist) ++ A[:hist], chunk1 = A[hist:])."""
+    l, g = a.shape
+    apad = np.concatenate(
+        [np.zeros((parts * s - l, g), a.dtype), a], axis=0)
+    return [np.ascontiguousarray(apad[k * s:(k + 1) * s, :])
+            for k in range(parts)]
 
 
 def _window_tile(left, bulk, tb: int, s: int, hist: int):
@@ -371,7 +428,10 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
     wire_args = (wire_norm if wire_i32 is not None else 0.0, wire_gain,
                  nco_dtheta, cell, s2)
 
-    grid = (ch // cb, nb // tb)
+    # ragged grid when tb does not divide nb: Pallas masks the partial
+    # last tile (plan() prefers exact divisors; nb values like 882 =
+    # 2*3^2*7^2 have no div-8 divisor at all)
+    grid = (ch // cb, -(-nb // tb))
     bulk_spec = pl.BlockSpec((cb, cell), lambda c, i: (c, i),
                              memory_space=pltpu.VMEM)
     # left halo: the s2 lanes ending at this tile's start; tile 0's map is
@@ -383,18 +443,19 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
     state_spec = pl.BlockSpec((cb, hist), lambda c, i: (c, 0),
                               memory_space=pltpu.VMEM)
 
+    parts = -(-l // s)
     if mode == "shift":
-        per_mat = [_split_matrix(a_r, s, hist)]
+        per_mat = [_split_matrix(a_r, s, hist, parts)]
         if complex_taps:
-            per_mat.append(_split_matrix(a_i, s, hist))
+            per_mat.append(_split_matrix(a_i, s, hist, parts))
             kern = functools.partial(_shift_kernel_complex, tb=tb, s=s,
-                                     hist=hist, g=g, pack=pack_cs16,
-                                     wire=wire_args)
+                                     hist=hist, g=g, parts=parts,
+                                     pack=pack_cs16, wire=wire_args)
         else:
             kern = functools.partial(_shift_kernel, tb=tb, s=s,
-                                     hist=hist, g=g, pack=pack_cs16,
-                                     wire=wire_args)
-        mats = [jnp.asarray(_split_np(m)) for pair in per_mat for m in pair]
+                                     hist=hist, g=g, parts=parts,
+                                     pack=pack_cs16, wire=wire_args)
+        mats = [jnp.asarray(_split_np(m)) for chunk in per_mat for m in chunk]
         mat_specs = [pl.BlockSpec((2, s, g), lambda c, i: (0, 0, 0),
                                   memory_space=pltpu.VMEM)
                      for _ in mats]
@@ -417,7 +478,7 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
                             memory_space=pltpu.VMEM)
     # logical matmuls actually issued (both planes), times contraction depth
     if mode == "shift":
-        n_mm, depth = (8 if complex_taps else 4), s
+        n_mm, depth = parts * (4 if complex_taps else 2), s
     else:
         n_mm, depth = (4 if complex_taps else 2), l
     flops = 2 * n_mm * nb * depth * g * ch
@@ -466,6 +527,42 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
 
 
 # ---------------------------- DC blocker kernel -------------------------------
+
+def _dc_plane_tile(x, carry, ybuf, pidx, m, decay, af, lane0,
+                   cb, n_t, t):
+    """One plane of the two-level DC-block recurrence over a (cb, cell)
+    tile: closed-form in-subtile prefixes via ONE triangular matmul
+    (m: M^T with M[i,j] = a^(i-j)), a statically unrolled loop over the
+    cell's sub-tiles for the carry, (x_prev, y_prev) read from the carry
+    scratch columns [pidx, pidx+2].  Shared by _dc_kernel and the
+    DC-fused banded kernel so the two paths stay bitwise identical.
+    Returns (y values, last x, last y)."""
+    cell = n_t * t
+    x_prev = carry[:, pidx:pidx + 1]
+    y_prev = carry[:, pidx + 2:pidx + 3]
+    xm1 = pltpu.roll(x, 1, axis=1)
+    b = x - jnp.where(lane0, x_prev, xm1)
+    # the carried y[-1] folds into the first element, so the subtile
+    # carry loop below starts from ZERO (no double count)
+    b = jnp.where(lane0, b + af * y_prev, b)
+    # exact (HIGHEST) matmul: the IIR feedback amplifies matmul
+    # rounding by ~1/sqrt(1 - a^2t), so the bf16x3 scheme is not
+    # accurate enough here; the triangular matmul is small anyway
+    y_loc = jax.lax.dot_general(
+        b.reshape(cb * n_t, t), m, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32).reshape(cb, n_t, t)
+
+    # static unroll (Mosaic cannot dynamic_slice VMEM *values*),
+    # assembled through a VMEM scratch (Mosaic miscompiles wide
+    # lane concats of many pieces)
+    yp = jnp.zeros((cb, 1), jnp.float32)
+    for j in range(n_t):
+        seg = y_loc[:, j, :] + yp * decay
+        ybuf[:, j * t:(j + 1) * t] = seg
+        yp = seg[:, t - 1:t]
+    return ybuf[...], x[:, cell - 1:cell], yp
+
 
 def _dc_kernel(*refs, cb, cell, t, a, with_iq, dtheta,
                wire_norm=0.0, wire_gain=1.0):
@@ -521,34 +618,10 @@ def _dc_kernel(*refs, cb, cell, t, a, with_iq, dtheta,
         xr_val = xr_ref[...]
         xi_val = xi_ref[...]
 
-    def plane(x, ybuf, pidx):
-        x_prev = carry[:, pidx:pidx + 1]
-        y_prev = carry[:, pidx + 2:pidx + 3]
-        xm1 = pltpu.roll(x, 1, axis=1)
-        b = x - jnp.where(lane0, x_prev, xm1)
-        # the carried y[-1] folds into the first element, so the subtile
-        # carry loop below starts from ZERO (no double count)
-        b = jnp.where(lane0, b + af * y_prev, b)
-        # exact (HIGHEST) matmul: the IIR feedback amplifies matmul
-        # rounding by ~1/sqrt(1 - a^2t), so the bf16x3 scheme is not
-        # accurate enough here; the triangular matmul is small anyway
-        y_loc = jax.lax.dot_general(
-            b.reshape(cb * n_t, t), m, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32).reshape(cb, n_t, t)
-
-        # static unroll (Mosaic cannot dynamic_slice VMEM *values*),
-        # assembled through a VMEM scratch (Mosaic miscompiles wide
-        # lane concats of many pieces)
-        yp = jnp.zeros((cb, 1), jnp.float32)
-        for j in range(n_t):
-            seg = y_loc[:, j, :] + yp * decay
-            ybuf[:, j * t:(j + 1) * t] = seg
-            yp = seg[:, t - 1:t]
-        return ybuf[...], x[:, cell - 1:cell], yp
-
-    yr, xr_l, yr_l = plane(xr_val, ybuf_r, 0)
-    yi, xi_l, yi_l = plane(xi_val, ybuf_i, 1)
+    yr, xr_l, yr_l = _dc_plane_tile(xr_val, carry, ybuf_r, 0, m, decay,
+                                    af, lane0, cb, n_t, t)
+    yi, xi_l, yi_l = _dc_plane_tile(xi_val, carry, ybuf_i, 1, m, decay,
+                                    af, lane0, cb, n_t, t)
     carry[:, 0:1] = xr_l
     carry[:, 1:2] = xi_l
     carry[:, 2:3] = yr_l
@@ -564,6 +637,18 @@ def _dc_kernel(*refs, cb, cell, t, a, with_iq, dtheta,
         yr, yi = _nco_mix(ph_ref, i, cb, cell, dtheta, yr, yi)
     outr_ref[...] = yr
     outi_ref[...] = yi
+
+
+def _dc_consts(a: float, t: int):
+    """(M^T, decay) constants for the two-level DC recurrence:
+    M[i,j] = a^(i-j) lower-triangular (passed transposed so
+    y_local = b @ M^T), decay = a^1..a^t row vector."""
+    i_idx = np.arange(t)
+    e = i_idx[:, None] - i_idx[None, :]
+    m = np.where(e >= 0, np.float64(a) ** np.maximum(e, 0), 0.0)
+    m_t = np.ascontiguousarray(m.T.astype(np.float32))
+    d_vec = (np.float64(a) ** np.arange(1, t + 1)).astype(np.float32)[None, :]
+    return m_t, d_vec
 
 
 def dc_geometry(ch: int, n: int):
@@ -608,12 +693,7 @@ def dc_block_apply(xr: jnp.ndarray, xi: jnp.ndarray, state: jnp.ndarray,
         return None
     cb, cell = geo
 
-    i_idx = np.arange(t)
-    e = i_idx[:, None] - i_idx[None, :]
-    m = np.where(e >= 0, np.float64(a) ** np.maximum(e, 0), 0.0)
-    # y_local = b @ M^T with M[i,j] = a^(i-j)  ->  pass M^T directly
-    m_t = np.ascontiguousarray(m.T.astype(np.float32))
-    d_vec = (np.float64(a) ** np.arange(1, t + 1)).astype(np.float32)[None, :]
+    m_t, d_vec = _dc_consts(a, t)
 
     with_iq = iq_factors is not None
     dtheta = int(dtheta) & 0xFFFFFFFF

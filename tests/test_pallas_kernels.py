@@ -41,6 +41,10 @@ def _rand_case(rng, stride, hist, g, nb, ch, complex_taps=False):
     (64, 23, 57, 16, 8),    # 8-channel blocks (cb=8 path)
     (256, 54, 216, 16, 8),  # shift fast path, FIR-like
     (512, 23, 441, 8, 8),   # shift fast path, NRSC-5 stage-1 geometry
+    (256, 287, 216, 16, 8),  # hist > stride: 3-part shift (NRSC-5 stage 2)
+    (128, 300, 64, 16, 8),  # hist > 2*stride: 4-part shift
+    (256, 287, 216, 18, 8),  # ragged grid: nb=18 has no div-8 divisor
+    (512, 31, 441, 14, 8),  # ragged grid, assemble mode
 ])
 def test_banded_pallas_matches_xla(rng, stride, hist, g, nb, ch):
     case = _rand_case(rng, stride, hist, g, nb, ch)
@@ -54,9 +58,48 @@ def test_banded_pallas_matches_xla(rng, stride, hist, g, nb, ch):
 
 
 def test_hist_beyond_stride_falls_back():
-    """Wide multi-piece window assembly is gated out (Mosaic miscompiles
-    many-piece lane concats); the dispatcher must take the XLA path."""
-    assert pallas_kernels.plan(16, 55, 16, 32, 1) is None
+    """hist > stride needs the k-part shift formulation, which requires a
+    lane-aligned stride and a bounded part count; anything else must take
+    the XLA path."""
+    assert pallas_kernels.plan(16, 55, 16, 32, 1) is None      # s not 128k
+    assert pallas_kernels.plan(128, 600, 16, 32, 8) is None    # parts > 4
+    got = pallas_kernels.plan(256, 287, 216, 16, 8)            # 3-part ok
+    assert got is not None and got[3] == "shift"
+
+
+def test_banded_complex_taps_hist_beyond_stride(rng):
+    """Complex chunks through the k-part shift path (composed off-center
+    FIR folded into a deep-history stage)."""
+    stride, hist, g, nb, ch = 128, 200, 64, 16, 8
+    case = _rand_case(rng, stride, hist, g, nb, ch, complex_taps=True)
+    ref_r, ref_i = _ref(*case, stride, hist)
+    out_r, out_i = pallas_kernels.banded_apply(*case, stride, hist,
+                                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(ref_r),
+                               rtol=5e-4, atol=4e-3)
+    np.testing.assert_allclose(np.asarray(out_i), np.asarray(ref_i),
+                               rtol=5e-4, atol=4e-3)
+
+
+def test_banded_pack_cs16_ragged_grid(rng):
+    """pack_cs16 epilogue under a ragged grid (masked last tile) — the
+    flagship's stage-2 shape (nb = 882-like odd-composite counts)."""
+    from iq_tool_tpu.ops import convert
+    from iq_tool_tpu.formats import get_format
+    stride, hist, g, nb, ch = 256, 287, 216, 18, 8
+    sr, si, xr, xi, a_r, a_i = _rand_case(rng, stride, hist, g, nb, ch)
+    # keep |y| < 1 so the cs16 quantizer does not clip
+    sr, si, xr, xi = sr * 0.01, si * 0.01, xr * 0.01, xi * 0.01
+    ref_r, ref_i = _ref(sr, si, xr, xi, a_r, a_i, stride, hist)
+    wire = pallas_kernels.banded_apply(sr, si, xr, xi, a_r, a_i,
+                                       stride, hist, interpret=True,
+                                       pack_cs16=True)
+    want = np.asarray(convert.from_planar(
+        jnp.asarray(np.asarray(ref_r)), jnp.asarray(np.asarray(ref_i)),
+        get_format("cs16")))
+    got = np.asarray(wire).view(np.int16).reshape(ch, -1)
+    d = np.abs(got.astype(np.int64) - want.astype(np.int64))
+    assert d.max() <= 1, d.max()
 
 
 def test_banded_pallas_complex_taps(rng):
