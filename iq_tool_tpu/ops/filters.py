@@ -166,6 +166,32 @@ class StreamingFilter:
         y, ns = self(x, st)
         return jnp.real(y), jnp.imag(y), jnp.real(ns), jnp.imag(ns)
 
+    def apply_planar_packed(self, xr: jnp.ndarray, xi: jnp.ndarray,
+                            state_r: jnp.ndarray, state_i: jnp.ndarray,
+                            interpret: bool = False):
+        """Banded FIR whose output IS the quantized interleaved cs16
+        wire: the kernel epilogue quantizes in VMEM, so when this filter
+        is the chain's LAST op the separate convert pass never touches
+        HBM (same trick as the resampler's last stage).  Returns
+        (wire_i32, new_r, new_i) or None when the kernel path is
+        unavailable — the caller then runs apply_planar + convert
+        (filter.c:449-462 executes in-place and the conversion is a
+        separate pass there too; this removes it entirely)."""
+        if not self._exec_banded or self.num_taps == 1:
+            return None
+        n = xr.shape[-1]
+        k = self.num_taps
+        hist = self.block if self.method == "fft" else k - 1
+        stride = banded.largest_divisor_leq(n, C.BANDED_STRIDE_CAP)
+        tr, ti = self._toeplitz_for(stride)
+        wire = banded.apply_planar_packed(
+            state_r[:, hist - (k - 1):], state_i[:, hist - (k - 1):],
+            xr, xi, tr, ti, stride, k - 1, interpret=interpret)
+        if wire is None:
+            return None
+        return (wire, banded.new_tail(state_r, xr, hist),
+                banded.new_tail(state_i, xi, hist))
+
     @property
     def osfft_advance(self) -> int:
         """Window stride of the fused overlap-save kernel: 3b/2

@@ -525,6 +525,21 @@ class Chain:
             xr, xi, new["rs"] = self.resampler.apply_planar(
                 xr, xi, carry["rs"])
         if self.post_filter:
+            if (int(self.dtheta_post) == 0 and self.agc_cfg is None
+                    and self.fmt_out.name == "cs16"
+                    and not os.environ.get("IQTOOL_DISABLE_PACK_OUT")):
+                # the filter is the chain's last op before the convert:
+                # quantize + interleave in the banded kernel's epilogue
+                # (flagship / config #2 shape — one fewer write + read
+                # of both output-rate planes)
+                res = self.post_filter.apply_planar_packed(
+                    xr, xi, *carry["post_f"],
+                    interpret=_FUSED_POST_INTERPRET)
+                if res is not None:
+                    wire_i32, nr, ni = res
+                    new["post_f"] = (nr, ni)
+                    w16 = jax.lax.bitcast_convert_type(wire_i32, jnp.int16)
+                    return new, w16.reshape(wire_i32.shape[0], -1)
             xr, xi, nr, ni = self.post_filter.apply_planar(
                 xr, xi, *carry["post_f"])
             new["post_f"] = (nr, ni)

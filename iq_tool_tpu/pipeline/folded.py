@@ -535,9 +535,26 @@ class FoldedChain:
                 new_rs.append((cr, ci))
             new["rs"] = tuple(new_rs)
         if lc.post_filter:
+            import os as _os
+
+            from iq_tool_tpu.pipeline import chain as chain_mod
             b = lc.post_filter.block
             ur, cr = self._shift_rows(xr[:, -b:], carry["post_f"][0])
             ui, ci = self._shift_rows(xi[:, -b:], carry["post_f"][1])
+            if (int(lc.dtheta_post) == 0 and lc.agc_cfg is None
+                    and lc.fmt_out.name == "cs16"
+                    and not _os.environ.get("IQTOOL_DISABLE_PACK_OUT")):
+                # the filter is the last op before the convert: quantize
+                # + interleave in its kernel epilogue (see Chain._step)
+                res = lc.post_filter.apply_planar_packed(
+                    xr, xi, ur, ui,
+                    interpret=(_FUSED_INTERPRET
+                               or chain_mod._FUSED_POST_INTERPRET))
+                if res is not None:
+                    wire_i32 = res[0]
+                    new["post_f"] = (cr, ci)
+                    wire = jax.lax.bitcast_convert_type(wire_i32, jnp.int16)
+                    return new, self._unrows(wire.reshape(self.rows, -1))
             xr, xi, _, _ = lc.post_filter.apply_planar(xr, xi, ur, ui)
             new["post_f"] = (cr, ci)
         fused_out = self._fused_post_folded(xr, xi, carry, new)

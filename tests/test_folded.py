@@ -296,6 +296,31 @@ def test_folded_packed_out_parity(rng, monkeypatch):
     assert (diff != 0).mean() < 0.05, (diff != 0).mean()
 
 
+def test_folded_post_filter_pack_parity(rng, monkeypatch):
+    """Folded post-FIR pack branch (filter too big to compose into the
+    resampler): the filter's kernel epilogue quantizes to the wire on
+    the folded rows; parity vs the XLA folded path."""
+    from iq_tool_tpu.ops.fir_design import FilterRequest
+    from iq_tool_tpu.pipeline import chain as chain_mod
+    from iq_tool_tpu.pipeline.chain import ChainConfig
+
+    cfg = ChainConfig(input_format="cs16", output_format="cs16",
+                      input_rate=2_048_000.0, target_rate=1_024_000.0,
+                      freq_shift_pre_hz=100_000.0,
+                      filters=[FilterRequest("lowpass", 300_000.0)],
+                      filter_taps=301, target_block=4096)
+    fc = FoldedChain(cfg, fold=8)
+    assert fc.local.post_filter is not None   # did not compose
+    raws = _raws(2, fc, rng)
+    want = _run_folded(fc, raws)
+    monkeypatch.setattr(chain_mod, "_FUSED_POST_INTERPRET", True)
+    fc2 = FoldedChain(cfg, fold=8)
+    got = _run_folded(fc2, raws)
+    diff = got.astype(np.int32) - want.astype(np.int32)
+    assert np.abs(diff).max() <= 1, np.abs(diff).max()
+    assert (diff != 0).mean() < 0.05, (diff != 0).mean()
+
+
 def test_folded_multistage_pack_branch(rng, monkeypatch):
     """The folded resampler LOOP's pack branch (multi-stage cascade, last
     stage plans): wire-in consumes stage 0, stage 1 packs out.  896 kHz

@@ -363,6 +363,57 @@ def test_fused_pre_wire_chain_parity(rng, monkeypatch):
     assert np.abs(diff).max() <= 4, np.abs(diff).max()
 
 
+def test_post_filter_pack_chain_parity(rng, monkeypatch):
+    """Post lowpass too big to compose into the resampler
+    (> FUSE_MAX_TAPS): it quantizes straight to the wire in its kernel
+    epilogue instead of a separate convert pass.  Parity vs the
+    separate filter + convert path across carried blocks, and the
+    packed path must actually engage.  (Odd output counts like 11907
+    cannot lane-align — plan() declines and the chain falls back; this
+    uses a /2 ratio so n_out tiles.)"""
+    from iq_tool_tpu.ops import banded
+    from iq_tool_tpu.ops.fir_design import FilterRequest
+    from iq_tool_tpu.pipeline import chain as chain_mod
+    from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+
+    cfg = ChainConfig(input_format="cs16", output_format="cs16",
+                      input_rate=2_048_000.0, target_rate=1_024_000.0,
+                      dc_block=True, freq_shift_pre_hz=100_000.0,
+                      filters=[FilterRequest("lowpass", 300_000.0)],
+                      filter_taps=301,
+                      target_block=4096)
+    raws = [rng.integers(-2 ** 14, 2 ** 14, (1, Chain(cfg).in_wire_len))
+            .astype(np.int16) for _ in range(3)]
+
+    def run():
+        ch = Chain(cfg)
+        carry = ch.init_carry()
+        outs = []
+        for r in raws:
+            carry, o = ch.step(carry, r, np.False_)
+            outs.append(np.asarray(jax.device_get(o)))
+        return np.concatenate(outs, -1)
+
+    want = run()
+    calls = []
+    orig = banded.apply_planar_packed
+
+    def spy(*a, **k):
+        res = orig(*a, **k)
+        calls.append(res is not None)
+        return res
+
+    monkeypatch.setattr(chain_mod, "_FUSED_POST_INTERPRET", True)
+    monkeypatch.setattr(banded, "apply_planar_packed", spy)
+    got = run()
+    assert any(calls), "post-filter pack path never engaged"
+    diff = got.astype(np.int32) - want.astype(np.int32)
+    assert np.abs(diff).max() <= 1, np.abs(diff).max()
+    # 301-tap accumulation: more half-ULP straddles than the small
+    # resampler bands, so +-1 flips are denser (bf16x3 vs HIGH rounding)
+    assert (diff != 0).mean() < 3e-2, (diff != 0).mean()
+
+
 def test_banded_pack_cs16_bitwise(rng):
     """pack_cs16 epilogue vs the planar kernel + convert.from_planar:
     identical quantization math, so the wire bytes are bitwise equal."""
