@@ -136,7 +136,13 @@ class ShardedChain:
             leaves["pre_f"] = ("halo", 2 * lc.pre_filter.block)
         if lc.resampler:
             for si, st in enumerate(lc.resampler.stages):
-                h = st.init(1).shape[-1]
+                # eval_shape, NOT st.init(1): an EAGER complex64 zeros here
+                # is an unimplemented per-op program on the axon backend
+                # and poisons every subsequent compile in the process —
+                # this single line was the root cause of the round-2/3
+                # "sharded program rejected UNIMPLEMENTED" forensics
+                # (init_carry -> _carry_struct ran it before any step).
+                h = jax.eval_shape(lambda s=st: s.init(1)).shape[-1]
                 leaves[f"rs{si}"] = ("halo", 2 * h)
         if lc.post_filter:
             leaves["post_f"] = ("halo", 2 * lc.post_filter.block)
@@ -178,7 +184,8 @@ class ShardedChain:
             if spec[0] == "halo":
                 specs[name] = P("channel", "time")
             else:
-                example = spec[1](1)
+                # abstract eval only — see the eager-complex64 note above
+                example = jax.eval_shape(lambda s=spec: s[1](1))
                 specs[name] = jax.tree_util.tree_map(
                     lambda v: P("channel") if getattr(v, "ndim", 0) >= 1
                     else P(), example)

@@ -251,3 +251,35 @@ def test_time_sharded_dft_engine_filter(rng):
     d = np.abs(a - b)
     assert d.max() <= 1, d.max()
     assert (d != 0).mean() < 0.02
+
+
+def test_carry_struct_creates_no_eager_arrays(monkeypatch):
+    """Constructing a ShardedChain and inspecting its carry struct/specs
+    must never execute an eager device op: an eager complex64 zeros is
+    an UNIMPLEMENTED per-op program on the axon PJRT backend and poisons
+    every subsequent compile in the process.  _carry_struct's old
+    ``st.init(1).shape`` was exactly that — the root cause of the
+    round-2/3 on-silicon sharded-program rejections (docs/PERF.md)."""
+    import jax.numpy as jnp
+
+    eager = []
+    orig = jnp.zeros
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        if not isinstance(r, jax.core.Tracer):
+            eager.append((a, k))
+        return r
+
+    monkeypatch.setattr(jnp, "zeros", spy)
+    cfg = ChainConfig(input_format="cs16", output_format="cs16",
+                      input_rate=2_048_000.0, target_rate=1_488_375.0,
+                      dc_block=True, freq_shift_pre_hz=100e3,
+                      filters=[FilterRequest("lowpass", 400_000.0)])
+    sc = ShardedChain(cfg, make_mesh(jax.devices()[:8], 1, 8))
+    struct = sc._carry_struct()
+    specs = sc.carry_specs()
+    assert not eager, f"eager device arrays created: {eager}"
+    assert set(struct) == set(specs)
+    # halo widths still resolve to the real stage history sizes
+    assert all(h > 0 for kind, h in struct.values() if kind == "halo")
