@@ -147,6 +147,19 @@ def apply_planar(state_r: jnp.ndarray, state_i: jnp.ndarray,
     return window_matmul_planar(win_r, win_i, a_r, a_i)
 
 
+def can_pack(stride: int, hist: int, g: int, n: int, ch: int,
+             interpret: bool = False) -> bool:
+    """Static predicate: will apply_planar_packed engage for a (ch, n)
+    block through this banded map?  Every decline condition is
+    shape/config-derived, so callers can decide BEFORE tracing earlier
+    pipeline stages — no reliance on XLA CSE/DCE to clean up a
+    speculative trace that declined mid-build."""
+    if hist <= 0 or not (_on_tpu() or interpret):
+        return False
+    from iq_tool_tpu.ops import pallas_kernels
+    return pallas_kernels.plan(stride, hist, g, n // stride, ch) is not None
+
+
 def apply_planar_packed(state_r: jnp.ndarray, state_i: jnp.ndarray,
                         xr: jnp.ndarray, xi: jnp.ndarray,
                         a_r: np.ndarray, a_i: np.ndarray | None,
@@ -157,13 +170,10 @@ def apply_planar_packed(state_r: jnp.ndarray, state_i: jnp.ndarray,
     so the separate convert pass never touches HBM.  Returns the (C,
     (n//stride)*G) int32 wire, or None when the kernel path is
     unavailable (caller runs apply_planar + convert.from_planar)."""
-    if hist <= 0 or not (_on_tpu() or interpret):
+    ch, n = xr.shape
+    if not can_pack(stride, hist, a_r.shape[1], n, ch, interpret):
         return None
     from iq_tool_tpu.ops import pallas_kernels
-    ch, n = xr.shape
-    nb = n // stride
-    if pallas_kernels.plan(stride, hist, a_r.shape[1], nb, ch) is None:
-        return None
     return pallas_kernels.banded_apply(state_r, state_i, xr, xi,
                                        a_r, a_i, stride, hist,
                                        interpret=interpret, pack_cs16=True)

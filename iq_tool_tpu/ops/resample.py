@@ -209,6 +209,16 @@ class _MatmulStage:
         z = lambda: jnp.zeros((channels, self.hist), jnp.float32)
         return z(), z()
 
+    def out_len(self, n: int) -> int:
+        """Static output length for an n-sample input block."""
+        return (n // self.stride) * self._a.shape[1]
+
+    def can_pack(self, n: int, ch: int, interpret: bool = False) -> bool:
+        """Static predicate for apply_planar_packed engaging (see
+        banded.can_pack) — lets the cascade decide before tracing."""
+        return banded.can_pack(self.stride, self.hist, self._a.shape[1],
+                               n, ch, interpret)
+
     def apply_planar(self, xr, xi, state_r, state_i):
         yr, yi = banded.apply_planar(state_r, state_i, xr, xi, self._a,
                                      self._a_i, self.stride, self.hist)
@@ -392,23 +402,31 @@ class Resampler:
                             interpret: bool = False):
         """All stages, with the LAST one quantizing straight to the cs16
         wire in its kernel epilogue.  Returns (wire int32, new_state) or
-        (None, None) when the last stage cannot pack (gather fallback, or
-        the kernel path is unavailable) — earlier stages' work is then
-        re-traced by the normal path and deduped by XLA CSE."""
+        (None, None) when the last stage cannot pack (gather fallback,
+        or the kernel path is unavailable).  Packability is decided
+        STATICALLY up front — a block-length walk down the cascade plus
+        banded.can_pack on the final geometry — so a declining build
+        traces nothing (no reliance on XLA CSE/DCE to clean up
+        speculative earlier-stage traces)."""
+        if not self.stages:
+            return None, None          # p == q: no stages
+        last = self.stages[-1]
+        if not hasattr(last, "apply_planar_packed"):
+            return None, None
+        n = xr.shape[-1]
+        for stage in self.stages[:-1]:
+            n = stage.out_len(n)
+        if not last.can_pack(n, xr.shape[0], interpret):
+            return None, None
         new_states = []
-        for i, (stage, (sr, si)) in enumerate(zip(self.stages, state)):
-            if i == len(self.stages) - 1:
-                if not hasattr(stage, "apply_planar_packed"):
-                    return None, None
-                wire, nr, ni = stage.apply_planar_packed(xr, xi, sr, si,
-                                                         interpret)
-                if wire is None:
-                    return None, None
-                new_states.append((nr, ni))
-                return wire, tuple(new_states)
+        for stage, (sr, si) in zip(self.stages[:-1], state[:-1]):
             xr, xi, nr, ni = stage.apply_planar(xr, xi, sr, si)
             new_states.append((nr, ni))
-        return None, None          # p == q: no stages
+        sr, si = state[-1]
+        wire, nr, ni = last.apply_planar_packed(xr, xi, sr, si, interpret)
+        assert wire is not None, "can_pack/apply_planar_packed disagree"
+        new_states.append((nr, ni))
+        return wire, tuple(new_states)
 
     def reset(self, state: tuple) -> tuple:
         return jax.tree_util.tree_map(jnp.zeros_like, state)
