@@ -526,6 +526,251 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
     return yr.reshape(ch, nb * g), yi.reshape(ch, nb * g)
 
 
+# ---------------- DC-fused banded stage-0 kernel ------------------------------
+
+def _banded_dc_kernel(*refs, tb, s, hist, g, mode, parts, complex_taps,
+                      pack, wire_norm, wire_gain, dtheta, a, t):
+    """Resampler stage 0 with the whole PRE-stage fused into its
+    prologue: packed cs16 wire decode -> DC-block recurrence -> NCO mix
+    -> strided-window banded matmul, one HBM read of the wire and one
+    write of the stage output.  Replaces the separate fused-pre kernel
+    pass for the flagship chain shape (dc + shift + resample): the
+    pre-kernel's plane write and stage 0's plane re-read (~16 B/input
+    sample) never touch HBM.
+
+    Grid is (channel blocks, time tiles) with the time dim sequential
+    ('arbitrary'), so VMEM scratch carries BOTH the DC (x_prev, y_prev)
+    state and the previous tile's PROCESSED tail across tiles — the
+    banded window's left context must be post-DC/post-NCO values, which
+    a raw-wire halo cannot provide.  Tile 0 takes the stream carries:
+    dc state from dcst_ref, window context from the stage state (stored
+    processed + pre-rotated, as in the plain wire path).  The kernel
+    also emits the processed tail (the next step's stage state) and the
+    new DC state, so the caller needs NO XLA-side tail recompute.
+
+    DC math is _dc_plane_tile, shared with _dc_kernel — the fused and
+    separate paths stay bitwise identical (dc_block.c:24-43 contract).
+    """
+    refs = list(refs)
+    w_ref = refs.pop(0)
+    st_r_ref = refs.pop(0)
+    st_i_ref = refs.pop(0)
+    dcst_ref = refs.pop(0)
+    m_ref = refs.pop(0)
+    d_ref = refs.pop(0)
+    ph_ref = refs.pop(0) if dtheta else None
+    n_mats = ((2 * parts if complex_taps else parts) if mode == "shift"
+              else (2 if complex_taps else 1))
+    mats = [refs.pop(0) for _ in range(n_mats)]
+    outs = [refs.pop(0) for _ in range(1 if pack else 2)]
+    tail_r_ref = refs.pop(0)
+    tail_i_ref = refs.pop(0)
+    dcout_ref = refs.pop(0)
+    carry, ybuf_r, ybuf_i, ctx_r, ctx_i = refs
+
+    i = pl.program_id(1)
+    cb = w_ref.shape[0]
+    cell = tb * s
+    w_ctx = ctx_r.shape[-1]
+
+    @pl.when(i == 0)
+    def _():
+        carry[...] = dcst_ref[...]
+
+    # wire decode (same op order as convert.to_planar)
+    v = w_ref[...]
+    xr = (((v << 16) >> 16).astype(jnp.float32)
+          * jnp.float32(wire_norm)) * jnp.float32(wire_gain)
+    xi = ((v >> 16).astype(jnp.float32)
+          * jnp.float32(wire_norm)) * jnp.float32(wire_gain)
+
+    # DC recurrence across the tile (sequential via the carry scratch)
+    n_t = cell // t
+    m = m_ref[...]
+    decay = d_ref[...]
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (cb, cell), 1) == 0
+    af = jnp.float32(a)
+    xr, xr_l, yr_l = _dc_plane_tile(xr, carry, ybuf_r, 0, m, decay, af,
+                                    lane0, cb, n_t, t)
+    xi, xi_l, yi_l = _dc_plane_tile(xi, carry, ybuf_i, 1, m, decay, af,
+                                    lane0, cb, n_t, t)
+    carry[:, 0:1] = xr_l
+    carry[:, 1:2] = xi_l
+    carry[:, 2:3] = yr_l
+    carry[:, 3:4] = yi_l
+    dcout_ref[...] = carry[...]
+
+    if dtheta:
+        base = jnp.int32(i) * jnp.int32(cell)
+        xr, xi = _nco_mix_base(ph_ref, base, cb, cell, dtheta, xr, xi)
+
+    # window left context: read the PREVIOUS tile's processed tail
+    # before this tile overwrites it
+    ctx_r_val = ctx_r[...]
+    ctx_i_val = ctx_i[...]
+    st_r = st_r_ref[...]
+    st_i = st_i_ref[...]
+
+    if mode == "shift":
+        cvals = [c[...] for c in mats]
+        br = _shift_rows(xr, ctx_r_val, st_r, cb=cb, tb=tb, s=s,
+                         hist=hist, parts=parts)
+        bi = _shift_rows(xi, ctx_i_val, st_i, cb=cb, tb=tb, s=s,
+                         hist=hist, parts=parts)
+
+        def conv(back, cv):
+            acc = _mm(back[0], cv[parts - 1], cb, tb, g)
+            for mm_ in range(1, parts):
+                acc = acc + _mm(back[mm_], cv[parts - 1 - mm_], cb, tb, g)
+            return acc
+
+        if complex_taps:
+            cr_, ci_ = cvals[:parts], cvals[parts:]
+            yr = conv(br, cr_) - conv(bi, ci_)
+            yi = conv(bi, cr_) + conv(br, ci_)
+        else:
+            yr, yi = conv(br, cvals), conv(bi, cvals)
+    else:
+        win_r = _window_tile(_left(st_r, ctx_r_val, hist), xr, tb, s, hist)
+        win_i = _window_tile(_left(st_i, ctx_i_val, hist), xi, tb, s, hist)
+        if complex_taps:
+            a_r, a_i = mats[0][...], mats[1][...]
+            yr = (_mm(win_r, a_r, cb, tb, g) - _mm(win_i, a_i, cb, tb, g))
+            yi = (_mm(win_i, a_r, cb, tb, g) + _mm(win_r, a_i, cb, tb, g))
+        else:
+            a_r = mats[0][...]
+            yr = _mm(win_r, a_r, cb, tb, g)
+            yi = _mm(win_i, a_r, cb, tb, g)
+    _banded_write(outs, yr, yi, pack)
+
+    # save this tile's processed tail: next tile's window context, and
+    # (from the last tile) the next step's carried stage state
+    ctx_r[...] = xr[:, cell - w_ctx:]
+    ctx_i[...] = xi[:, cell - w_ctx:]
+    tail_r_ref[...] = xr[:, cell - hist:]
+    tail_i_ref[...] = xi[:, cell - hist:]
+
+
+def banded_apply_dc(state_r: jnp.ndarray, state_i: jnp.ndarray,
+                    dc_state: jnp.ndarray, dc_alpha: float,
+                    a_r: np.ndarray, a_i: np.ndarray | None,
+                    stride: int, hist: int,
+                    wire_i32: jnp.ndarray, wire_norm: float,
+                    wire_gain: float = 1.0,
+                    nco_dtheta: int = 0,
+                    nco_phase: jnp.ndarray | None = None,
+                    pack_cs16: bool = False,
+                    interpret: bool = False):
+    """Stage-0 banded map with the fused wire-decode + DC + NCO prologue
+    (see _banded_dc_kernel).  state_*: (C, hist) PROCESSED stage history
+    (post-DC, pre-rotated); dc_state: (C, 4) [xr, xi, yr, yi] prevs.
+    Returns (y | wire, tail_r, tail_i, new_dc_state) where tail_* is the
+    processed (C, hist) history for the next step.  Gate with
+    plan(..., dc=True); raises on unsupported geometry."""
+    if not wire_norm:
+        raise ValueError("banded_apply_dc requires wire input")
+    nco_dtheta = int(nco_dtheta) & 0xFFFFFFFF
+    if nco_dtheta and nco_phase is None:
+        raise ValueError("nco_dtheta needs nco_phase")
+    ch, n = wire_i32.shape
+    s = stride
+    nb = n // s
+    g = a_r.shape[1]
+    l = s + hist
+    assert a_r.shape[0] == l, (a_r.shape, l)
+    geom = plan(s, hist, g, nb, ch, dc=True)
+    if geom is None:
+        raise ValueError(f"unsupported dc-banded geometry s={s} "
+                         f"hist={hist} g={g} nb={nb}")
+    cb, tb, _, mode = geom
+    cell = tb * s
+    t = _LANES
+    parts = -(-l // s)
+    w_ctx = (parts - 1) * s if mode == "shift" else hist
+    complex_taps = a_i is not None and np.any(a_i)
+    a = float(1.0 - dc_alpha)
+    m_t, d_vec = _dc_consts(a, t)
+
+    kern = functools.partial(
+        _banded_dc_kernel, tb=tb, s=s, hist=hist, g=g, mode=mode,
+        parts=parts, complex_taps=complex_taps, pack=pack_cs16,
+        wire_norm=float(wire_norm), wire_gain=float(wire_gain),
+        dtheta=nco_dtheta, a=a, t=t)
+
+    if mode == "shift":
+        per = [_split_matrix(a_r, s, hist, parts)]
+        if complex_taps:
+            per.append(_split_matrix(a_i, s, hist, parts))
+        mats = [jnp.asarray(_split_np(m)) for chunk in per for m in chunk]
+        mat_specs = [pl.BlockSpec((2, s, g), lambda c, i: (0, 0, 0),
+                                  memory_space=pltpu.VMEM) for _ in mats]
+    else:
+        mats = [jnp.asarray(_split_np(a_r))]
+        if complex_taps:
+            mats.append(jnp.asarray(_split_np(a_i)))
+        mat_specs = [pl.BlockSpec((2, l, g), lambda c, i: (0, 0, 0),
+                                  memory_space=pltpu.VMEM) for _ in mats]
+
+    grid = (ch // cb, nb // tb)
+    bulk_spec = pl.BlockSpec((cb, cell), lambda c, i: (c, i),
+                             memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((cb, hist), lambda c, i: (c, 0),
+                              memory_space=pltpu.VMEM)
+    dc_spec = pl.BlockSpec((cb, 4), lambda c, i: (c, 0),
+                           memory_space=pltpu.VMEM)
+    const2 = pl.BlockSpec((t, t), lambda c, i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    const1 = pl.BlockSpec((1, t), lambda c, i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    ph_specs, ph_args = [], []
+    if nco_dtheta:
+        ph_specs = [pl.BlockSpec((cb, 1), lambda c, i: (c, 0),
+                                 memory_space=pltpu.VMEM)]
+        ph_args = [nco_phase]
+    out_spec = pl.BlockSpec((cb, tb, g), lambda c, i: (c, i, 0),
+                            memory_space=pltpu.VMEM)
+    if pack_cs16:
+        y_specs = [out_spec]
+        y_shapes = [jax.ShapeDtypeStruct((ch, nb, g), jnp.int32)]
+    else:
+        y_specs = [out_spec, out_spec]
+        y_shapes = [jax.ShapeDtypeStruct((ch, nb, g), jnp.float32),
+                    jax.ShapeDtypeStruct((ch, nb, g), jnp.float32)]
+    n_mm = (parts * (4 if complex_taps else 2) if mode == "shift"
+            else (4 if complex_taps else 2))
+    depth = s if mode == "shift" else l
+    flops = 2 * n_mm * nb * depth * g * ch + 2 * 2 * n * t * ch
+    out_bytes = (1 if pack_cs16 else 2) * ch * nb * g * 4
+    res = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[bulk_spec, state_spec, state_spec, dc_spec,
+                  const2, const1, *ph_specs, *mat_specs],
+        out_specs=(*y_specs, state_spec, state_spec, dc_spec),
+        out_shape=(*y_shapes,
+                   jax.ShapeDtypeStruct((ch, hist), jnp.float32),
+                   jax.ShapeDtypeStruct((ch, hist), jnp.float32),
+                   jax.ShapeDtypeStruct((ch, 4), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((cb, 4), jnp.float32),
+                        pltpu.VMEM((cb, cell), jnp.float32),
+                        pltpu.VMEM((cb, cell), jnp.float32),
+                        pltpu.VMEM((cb, w_ctx), jnp.float32),
+                        pltpu.VMEM((cb, w_ctx), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=(2 * n * ch if nco_dtheta else 0),
+            bytes_accessed=4 * ch * n + out_bytes),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(wire_i32, state_r, state_i, dc_state, jnp.asarray(m_t),
+      jnp.asarray(d_vec), *ph_args, *mats)
+    if pack_cs16:
+        wire, tr, ti, st4 = res
+        return wire.reshape(ch, nb * g), tr, ti, st4
+    yr, yi, tr, ti, st4 = res
+    return (yr.reshape(ch, nb * g), yi.reshape(ch, nb * g)), tr, ti, st4
+
+
 # ---------------------------- DC blocker kernel -------------------------------
 
 def _dc_plane_tile(x, carry, ybuf, pidx, m, decay, af, lane0,

@@ -393,15 +393,17 @@ class Chain:
         return wire.reshape(c, 2 * n)
 
     def _fused_wire_resample(self, raw, carry: dict, new: dict):
-        """BASELINE config #1's exact shape — cs16 wire -> resample ->
-        cs16 wire with NOTHING else in the chain: stage 0 decodes the
-        packed wire in-register (input twin of the dc kernel's wire
-        mode) and the last stage quantizes back to the wire in its
-        epilogue, so neither conversion pass touches HBM.  Returns the
-        output wire or None (caller runs the normal path)."""
+        """Wire -> [DC] -> [NCO] -> resample -> cs16 wire with nothing
+        else in the chain (BASELINE configs #1/#2 and, with dc_block,
+        the flagship shape): stage 0 decodes the packed wire in-register
+        — and with dc_block runs the DC recurrence in the same prologue
+        (banded_apply_dc) — while the last stage quantizes back to the
+        wire in its epilogue, so neither conversion pass nor the
+        separate pre-stage touches HBM.  Returns the output wire or None
+        (caller runs the normal path)."""
         from iq_tool_tpu.ops import banded
         cfg = self.cfg
-        if (cfg.dc_block or cfg.iq_correction
+        if (cfg.iq_correction
                 or self.pre_filter is not None or self.resampler is None
                 or self.post_filter is not None
                 or int(self.dtheta_post) != 0 or self.agc_cfg is not None
@@ -409,6 +411,8 @@ class Chain:
             return None
         if os.environ.get("IQTOOL_DISABLE_WIRE_INPUT"):
             return None
+        if cfg.dc_block and os.environ.get("IQTOOL_DISABLE_DC_STAGE0"):
+            return None             # kill-switch for the dc-fused stage 0
         # pack-out is independently killable: the wire-INPUT half still
         # runs, finishing with the plain convert
         pack_ok = not os.environ.get("IQTOOL_DISABLE_PACK_OUT")
@@ -425,30 +429,50 @@ class Chain:
         nb0 = wire.shape[-1] // st0.stride
         from iq_tool_tpu.ops import pallas_kernels
         if pallas_kernels.plan(st0.stride, st0.hist, st0._a.shape[1],
-                               nb0, wire.shape[0]) is None:
+                               nb0, wire.shape[0],
+                               dc=cfg.dc_block) is None:
             return None
         pack0 = pack_ok and len(stages) == 1
         dth = int(self.dtheta_pre)
         pacc = carry["nco_pre"][:, None] if dth else None
-        res = pallas_kernels.banded_apply(
-            sr, si, None, None, st0._a, st0._a_i, st0.stride, st0.hist,
-            interpret=_FUSED_POST_INTERPRET, pack_cs16=pack0,
-            wire_i32=wire, wire_norm=self.fmt_in.normalizer,
-            wire_gain=cfg.gain, nco_dtheta=dth, nco_phase=pacc)
         items = self.fmt_in.items_per_frame
         n_frames = wire.shape[-1]
-        tr, ti = convert.to_planar(raw[:, -st0.hist * items:],
-                                   self.fmt_in, cfg.gain)
-        if dth:
-            # the carried resampler history is the POST-shift signal:
-            # rotate the stored tail at its global indices
-            ph_tail = (carry["nco_pre"]
-                       + jnp.uint32((n_frames - st0.hist) & 0xFFFFFFFF)
-                       * jnp.uint32(dth))
-            tr, ti, _ = nco.apply_planar(tr, ti, ph_tail, self.dtheta_pre)
-            new["nco_pre"] = (carry["nco_pre"]
-                              + jnp.uint32(n_frames & 0xFFFFFFFF)
-                              * jnp.uint32(dth))
+        if cfg.dc_block:
+            dc_st = carry["dc"]
+            st4 = jnp.stack([dc_st.xr_prev, dc_st.xi_prev,
+                             dc_st.yr_prev, dc_st.yi_prev], axis=-1)
+            res, tr, ti, st4n = pallas_kernels.banded_apply_dc(
+                sr, si, st4, self.dc_alpha, st0._a, st0._a_i,
+                st0.stride, st0.hist, wire_i32=wire,
+                wire_norm=self.fmt_in.normalizer, wire_gain=cfg.gain,
+                nco_dtheta=dth, nco_phase=pacc, pack_cs16=pack0,
+                interpret=_FUSED_POST_INTERPRET)
+            new["dc"] = dc_block.PlanarDcState(
+                st4n[:, 0], st4n[:, 1], st4n[:, 2], st4n[:, 3])
+            if dth:
+                new["nco_pre"] = (carry["nco_pre"]
+                                  + jnp.uint32(n_frames & 0xFFFFFFFF)
+                                  * jnp.uint32(dth))
+        else:
+            res = pallas_kernels.banded_apply(
+                sr, si, None, None, st0._a, st0._a_i, st0.stride,
+                st0.hist, interpret=_FUSED_POST_INTERPRET,
+                pack_cs16=pack0, wire_i32=wire,
+                wire_norm=self.fmt_in.normalizer,
+                wire_gain=cfg.gain, nco_dtheta=dth, nco_phase=pacc)
+            tr, ti = convert.to_planar(raw[:, -st0.hist * items:],
+                                       self.fmt_in, cfg.gain)
+            if dth:
+                # the carried resampler history is the POST-shift
+                # signal: rotate the stored tail at its global indices
+                ph_tail = (carry["nco_pre"]
+                           + jnp.uint32((n_frames - st0.hist) & 0xFFFFFFFF)
+                           * jnp.uint32(dth))
+                tr, ti, _ = nco.apply_planar(tr, ti, ph_tail,
+                                             self.dtheta_pre)
+                new["nco_pre"] = (carry["nco_pre"]
+                                  + jnp.uint32(n_frames & 0xFFFFFFFF)
+                                  * jnp.uint32(dth))
         new_rs = [(tr, ti)]
         if pack0:
             # single-stage cascade: wire in AND out in one kernel

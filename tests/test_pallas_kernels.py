@@ -552,3 +552,80 @@ def test_chain_wire_nco_parity(rng, monkeypatch):
     diff = got.astype(np.int32) - want.astype(np.int32)
     assert np.abs(diff).max() <= 1, np.abs(diff).max()
     assert (diff != 0).mean() < 0.05, (diff != 0).mean()
+
+
+def _run_chain_blocks(cfg, raws):
+    from iq_tool_tpu.pipeline.chain import Chain
+
+    ch = Chain(cfg)
+    carry = ch.init_carry()
+    outs = []
+    for r in raws:
+        carry, o = ch.step(carry, r, np.False_)
+        outs.append(np.asarray(jax.device_get(o)))
+    return np.concatenate(outs, -1)
+
+
+@pytest.mark.parametrize("target_rate", [1_024_000.0, 1_488_375.0])
+def test_dc_fused_stage0_chain_parity(rng, monkeypatch, target_rate):
+    """Flagship shape (dc + shift + resample, lowpass composed into the
+    cascade): the DC recurrence runs in resampler stage 0's wire-decode
+    prologue (banded_apply_dc) — the separate pre-kernel pass and the
+    XLA tail recompute both disappear.  Parity vs the XLA-op chain
+    across carried blocks; the kernel must actually engage.  /2 covers
+    'shift' mode (hist 287 > stride 256), the flagship ratio covers
+    'assemble'."""
+    from iq_tool_tpu.ops import pallas_kernels
+    from iq_tool_tpu.ops.fir_design import FilterRequest
+    from iq_tool_tpu.pipeline import chain as chain_mod
+    from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+
+    cfg = ChainConfig(input_format="cs16", output_format="cs16",
+                      input_rate=2_048_000.0, target_rate=target_rate,
+                      dc_block=True, freq_shift_pre_hz=100_000.0,
+                      filters=[FilterRequest("lowpass", 400_000.0)],
+                      target_block=4096)
+    assert Chain(cfg).post_filter is None          # composed
+    raws = [rng.integers(-2 ** 14, 2 ** 14, (1, Chain(cfg).in_wire_len))
+            .astype(np.int16) for _ in range(3)]
+
+    want = _run_chain_blocks(cfg, raws)
+    calls = []
+    orig = pallas_kernels.banded_apply_dc
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(chain_mod, "_FUSED_POST_INTERPRET", True)
+    monkeypatch.setattr(pallas_kernels, "banded_apply_dc", spy)
+    got = _run_chain_blocks(cfg, raws)
+    assert calls, "banded_apply_dc never engaged"
+    diff = got.astype(np.int32) - want.astype(np.int32)
+    # the in-kernel DC recurrence differs from the XLA two-level scan in
+    # f32 association (same bound as the fused-pre / sharded contract)
+    assert np.abs(diff).max() <= 4, np.abs(diff).max()
+
+
+def test_dc_fused_stage0_vs_fused_pre(rng, monkeypatch):
+    """The DC-fused stage 0 and the fused-pre + wire-stage0 paths share
+    _dc_plane_tile / _nco_mix_base / the banded matmul, so their outputs
+    agree to quantization: pin them within ±1 code of each other."""
+    from iq_tool_tpu.ops.fir_design import FilterRequest
+    from iq_tool_tpu.pipeline import chain as chain_mod
+    from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+
+    cfg = ChainConfig(input_format="cs16", output_format="cs16",
+                      input_rate=2_048_000.0, target_rate=1_488_375.0,
+                      dc_block=True, freq_shift_pre_hz=100_000.0,
+                      filters=[FilterRequest("lowpass", 400_000.0)],
+                      target_block=4096)
+    raws = [rng.integers(-2 ** 14, 2 ** 14, (1, Chain(cfg).in_wire_len))
+            .astype(np.int16) for _ in range(2)]
+    monkeypatch.setattr(chain_mod, "_FUSED_POST_INTERPRET", True)
+    got = _run_chain_blocks(cfg, raws)
+    monkeypatch.setenv("IQTOOL_DISABLE_DC_STAGE0", "1")
+    monkeypatch.setattr(chain_mod, "_FUSED_PRE_INTERPRET", True)
+    want = _run_chain_blocks(cfg, raws)
+    diff = got.astype(np.int32) - want.astype(np.int32)
+    assert np.abs(diff).max() <= 1, np.abs(diff).max()

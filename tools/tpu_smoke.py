@@ -261,6 +261,46 @@ def main() -> int:
     except Exception as e:
         check("banded wire-input == planar input", False, str(e)[:200])
 
+    # DC-fused banded stage 0 (wire decode + DC recurrence + NCO in the
+    # kernel prologue, banded_apply_dc) vs the fused-pre + wire-stage0
+    # path on the SAME silicon — shared _dc_plane_tile/_nco_mix_base, so
+    # the bound is quantization-level
+    try:
+        from iq_tool_tpu.ops.fir_design import FilterRequest as _FR
+        from iq_tool_tpu.pipeline import chain as _chain_mod
+        from iq_tool_tpu.pipeline.chain import Chain as _Chain
+        from iq_tool_tpu.pipeline.chain import ChainConfig as _CC
+        rng = np.random.default_rng(15)
+        _cfg = _CC(input_format="cs16", output_format="cs16",
+                   input_rate=RATE_IN, target_rate=RATE_OUT,
+                   dc_block=True, freq_shift_pre_hz=100e3,
+                   filters=[_FR("lowpass", 400e3)], target_block=16384)
+        _raws = [rng.integers(-2 ** 14, 2 ** 14,
+                              (1, _Chain(_cfg).in_wire_len))
+                 .astype(np.int16) for _ in range(2)]
+
+        def _run_cfg():
+            c = _Chain(_cfg)
+            cy = c.init_carry()
+            outs = []
+            for r in _raws:
+                cy, o = c.step(cy, r, np.bool_(False))
+                outs.append(np.asarray(jax.device_get(o)))
+            return np.concatenate(outs, -1)
+
+        got = _run_cfg()
+        os.environ["IQTOOL_DISABLE_DC_STAGE0"] = "1"
+        try:
+            want = _run_cfg()
+        finally:
+            del os.environ["IQTOOL_DISABLE_DC_STAGE0"]
+        d = np.abs(got.astype(np.int32) - want.astype(np.int32))
+        check("dc-fused banded stage 0 == fused-pre + wire stage 0",
+              bool(d.max() <= 1), f"maxdiff {d.max()} codes")
+    except Exception as e:
+        check("dc-fused banded stage 0 == fused-pre + wire stage 0",
+              False, str(e)[:200])
+
     # fused post-stage kernel (NCO + AGC gains + cs16 quantize/interleave)
     # vs the separate XLA ops, incl. ragged n and the int32 packing
     try:
@@ -377,24 +417,14 @@ def main() -> int:
               bool(snr > 70 and d.max() <= 4),
               f"snr {snr:.1f} dB maxdiff {d.max():.0f} codes")
     except Exception as e:
-        if "UNIMPLEMENTED" in str(e):
-            # Known axon-tunnel service bug (docs/PERF.md "axon sharded
-            # rejection"): the sharded step's compiled program is rejected
-            # while a byte-for-byte semantically identical reconstruction
-            # (verified by jaxpr, StableHLO, and deserialized-Mosaic-asm
-            # diffs — only debug-location bytes differ) compiles AND
-            # executes with verified-correct values on the same chip.
-            # Every component (collectives, both Pallas kernels in
-            # shard_map, each stage, int16 convert, odd-length outputs,
-            # carries, cond, donation) passes individually.  CPU-mesh
-            # tests (tests/test_sharded.py) prove the semantics.
-            skip("sharded fused pre-stage == plain chain",
-                 "axon service rejects this compiled program "
-                 "(UNIMPLEMENTED); identical-semantics reconstruction "
-                 "passes — backend bug, see docs/PERF.md")
-        else:
-            check("sharded fused pre-stage == plain chain", False,
-                  str(e)[:200])
+        # Round 4 resolved the long-standing "axon sharded rejection":
+        # the poison was an EAGER complex64 zeros in _carry_struct
+        # (unimplemented per-op program that kills every later compile
+        # in the process), fixed via jax.eval_shape — this check now
+        # PASSES on silicon (docs/PERF.md).  Any UNIMPLEMENTED here is
+        # a real failure again.
+        check("sharded fused pre-stage == plain chain", False,
+              str(e)[:200])
 
     # config #4: iq + pass-range + notch + AGC (exercises the FFT filter
     # path and the complex-tap machinery — this caught the DEFAULT-
