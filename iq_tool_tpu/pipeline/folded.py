@@ -268,6 +268,180 @@ class FoldedChain:
         new["dc"] = dc_block.PlanarDcState(cxr[:, 0], cxi[:, 0], cyr, cyi)
         return yr, yi
 
+    def _dc_stage0_consts(self):
+        """Design-time correction constants for the DC-fused folded
+        stage 0 (see _wire_stage0_dc).  All three are images of FIXED
+        signals under the stage-0 banded map, computed exactly in
+        numpy complex128:
+
+        * E: the zero-start DC correction signal D[k] = a^(k+1)·e^{jkΔθ}
+          (the per-row missing start term, post-NCO up to the per-row
+          phase factor) pushed through stage 0 with zero window context;
+        * D_tail: D's last `hist` samples (corrects the kernel's
+          processed-tail output);
+        * W_head: the (hist, n_head·g) matrix mapping a row's true left
+          context to the head windows' outputs — rows 1..F-1 run the
+          kernel with ZERO context (the true context is the previous
+          row's processed tail, known only post-kernel) and get this
+          linear term added back.
+        """
+        if getattr(self, "_dc0_cache", None) is not None:
+            return self._dc0_cache
+        lc = self.local
+        st0 = lc.resampler.stages[0]
+        n = lc.n_in
+        s, hist, g = st0.stride, st0.hist, st0._a.shape[1]
+        nb = n // s
+        l = s + hist
+        a_real = np.float64(1.0 - lc.dc_alpha)
+        dth = int(lc.dtheta_pre) & 0xFFFFFFFF
+        dth_signed = dth - (1 << 32) if dth >= (1 << 31) else dth
+        ang = np.float64(dth_signed) * (2.0 * np.pi / 4294967296.0)
+        k = np.arange(n, dtype=np.float64)
+        d_sig = np.power(a_real, k + 1) * np.exp(1j * ang * k)
+        a_mat = st0._a.astype(np.float64)
+        if st0._a_i is not None:
+            a_mat = a_mat + 1j * st0._a_i.astype(np.float64)
+        ext = np.concatenate([np.zeros(hist, np.complex128), d_sig])
+        e_sig = np.empty(nb * g, np.complex128)
+        for j in range(nb):
+            e_sig[j * g:(j + 1) * g] = ext[j * s:j * s + l] @ a_mat
+        n_head = -(-hist // s)
+        w = np.zeros((hist, n_head * g), np.complex128)
+        for j in range(n_head):
+            lo = j * s
+            span = min(l, hist - lo)
+            if span > 0:
+                w[lo:lo + span, j * g:(j + 1) * g] = a_mat[:span]
+        f32 = lambda x: np.ascontiguousarray(x.astype(np.float32))
+        self._dc0_cache = (
+            f32(e_sig.real), f32(e_sig.imag),
+            f32(d_sig[n - hist:].real), f32(d_sig[n - hist:].imag),
+            f32(w.real), f32(w.imag), n_head * g)
+        return self._dc0_cache
+
+    def _wire_stage0_dc(self, raw_rows, carry, new):
+        """DC-fused folded stage 0: the whole pre-stage (wire decode +
+        DC recurrence + NCO) runs in the stage-0 kernel's prologue
+        (pallas_kernels.banded_apply_dc) over the folded rows, and the
+        fold stitching happens POST-kernel through linearity:
+
+        * the kernel runs each row's DC from ZERO y-state with the exact
+          per-row x_prev (known from the raw wire); the missing
+          start·a^(k+1) term, composed sequentially across rows exactly
+          like _fused_pre_folded, is linear through the NCO rotation AND
+          through stage 0's banded map — so it lands on the OUTPUT as
+          z_row·E with E a design-time constant (cheaper than the
+          input-rate correction the unfused path pays);
+        * row r's window context (the previous row's processed tail) is
+          only known post-kernel, so rows 1..F-1 run with ZERO context
+          and the head windows get the true tail through W_head (one
+          tiny exact matmul) afterwards;
+        * the kernel's processed-tail output (exact regardless of the
+          window context) is corrected by z_row·D_tail and becomes both
+          the W_head operand and the next step's stage state.
+
+        Returns (yr, yi, (cr, ci)) or None; updates new["dc"].  The
+        nco_pre carry advance is left to the caller's wire_rs branch."""
+        import os
+
+        from iq_tool_tpu.ops import banded, pallas_kernels
+        from iq_tool_tpu.pipeline import chain as chain_mod
+        lc = self.local
+        cfg = lc.cfg
+        if (cfg.iq_correction or lc.pre_filter is not None
+                or lc.resampler is None):
+            return None
+        if (os.environ.get("IQTOOL_DISABLE_WIRE_INPUT")
+                or os.environ.get("IQTOOL_DISABLE_DC_STAGE0")):
+            return None
+        interp = _FUSED_INTERPRET or chain_mod._FUSED_POST_INTERPRET
+        if not (banded._on_tpu() or interp):
+            return None
+        stages = lc.resampler.stages
+        if not stages or not hasattr(stages[0], "stride"):
+            return None
+        wire = convert.wire_as_i32(raw_rows, lc.fmt_in)
+        if wire is None:
+            return None
+        st0 = stages[0]
+        hist = st0.hist
+        if pallas_kernels.plan(st0.stride, hist, st0._a.shape[1],
+                               wire.shape[-1] // st0.stride, self.rows,
+                               dc=True) is None:
+            return None
+        n = lc.n_in
+        items = lc.fmt_in.items_per_frame
+        # per-row x_prev: the preceding RAW sample (pre-DC, pre-NCO)
+        lr, li = convert.to_planar(raw_rows[:, -items:], lc.fmt_in,
+                                   cfg.gain)
+        xpr, cxr = self._shift_rows(lr, carry["dc"].xr_prev[:, None])
+        xpi, cxi = self._shift_rows(li, carry["dc"].xi_prev[:, None])
+        dth = int(lc.dtheta_pre)
+        ph = (self._row_phases(carry["nco_pre"], n, lc.dtheta_pre)
+              if dth else None)
+        # window context: channel row 0 takes the TRUE carried tail,
+        # rows 1..F-1 zeros (head-corrected below)
+        cr0, ci0 = carry["rs"][0]
+        zeros_ctx = jnp.zeros((self.channels, self.fold, hist),
+                              jnp.float32)
+        st_r = zeros_ctx.at[:, 0].set(cr0).reshape(self.rows, hist)
+        st_i = zeros_ctx.at[:, 0].set(ci0).reshape(self.rows, hist)
+        st4 = jnp.stack([xpr[:, 0], xpi[:, 0],
+                         jnp.zeros_like(xpr[:, 0]),
+                         jnp.zeros_like(xpi[:, 0])], axis=-1)
+        res, tr, ti, st4n = pallas_kernels.banded_apply_dc(
+            st_r, st_i, st4, lc.dc_alpha, st0._a, st0._a_i,
+            st0.stride, hist, wire_i32=wire,
+            wire_norm=lc.fmt_in.normalizer, wire_gain=cfg.gain,
+            nco_dtheta=dth,
+            nco_phase=ph[:, None] if dth else None,
+            pack_cs16=False, interpret=interp)
+        yr, yi = res
+        e_r, e_i, dt_r, dt_i, w_r, w_i, n_headg = self._dc_stage0_consts()
+        # correction 1: true per-row DC starts (sequential compose, same
+        # as _fused_pre_folded), rotated by the row phase, times E
+        a_l = jnp.float32((1.0 - lc.dc_alpha) ** n)
+        start_r, cyr = self._compose_dc_starts(
+            st4n[:, 2], carry["dc"].yr_prev, a_l)
+        start_i, cyi = self._compose_dc_starts(
+            st4n[:, 3], carry["dc"].yi_prev, a_l)
+        if dth:
+            z_r, z_i, _ = nco.apply_planar(start_r[:, None],
+                                           start_i[:, None], ph, 0)
+            z_r, z_i = z_r[:, 0], z_i[:, 0]
+        else:
+            z_r, z_i = start_r, start_i
+        yr = yr + (z_r[:, None] * e_r[None, :]
+                   - z_i[:, None] * e_i[None, :])
+        yi = yi + (z_r[:, None] * e_i[None, :]
+                   + z_i[:, None] * e_r[None, :])
+        # true processed tails (the kernel's are zero-start)
+        tr = tr + (z_r[:, None] * dt_r[None, :]
+                   - z_i[:, None] * dt_i[None, :])
+        ti = ti + (z_r[:, None] * dt_i[None, :]
+                   + z_i[:, None] * dt_r[None, :])
+        # correction 2: rows 1..F-1 ran with zero window context — add
+        # the previous row's true tail through the head-window matrix.
+        # Exact (HIGHEST) matmuls: tiny, and the term carries
+        # IIR-composed state.
+        t_r = tr.reshape(self.channels, self.fold, hist)
+        t_i = ti.reshape(self.channels, self.fold, hist)
+        prev_r = jnp.concatenate(
+            [jnp.zeros_like(t_r[:, :1]), t_r[:, :-1]],
+            axis=1).reshape(self.rows, hist)
+        prev_i = jnp.concatenate(
+            [jnp.zeros_like(t_i[:, :1]), t_i[:, :-1]],
+            axis=1).reshape(self.rows, hist)
+        mm = lambda a, b: jnp.matmul(a, b,
+                                     precision=jax.lax.Precision.HIGHEST)
+        h_r = mm(prev_r, w_r) - mm(prev_i, w_i)
+        h_i = mm(prev_r, w_i) + mm(prev_i, w_r)
+        yr = yr.at[:, :n_headg].add(h_r)
+        yi = yi.at[:, :n_headg].add(h_i)
+        new["dc"] = dc_block.PlanarDcState(cxr[:, 0], cxi[:, 0], cyr, cyi)
+        return yr, yi, (t_r[:, -1], t_i[:, -1])
+
     def _wire_stage0(self, raw_rows, carry, pack0=False):
         """Run the FIRST resampler stage straight off the packed cs16
         wire (nothing precedes the resampler): the kernel de-interleaves
@@ -435,7 +609,13 @@ class FoldedChain:
         fused = None
         wire_rs = None
         if cfg.dc_block:
-            fused = self._fused_pre_folded(raw_rows, carry, new)
+            res_dc = self._wire_stage0_dc(raw_rows, carry, new)
+            if res_dc is not None:
+                # stage 0 consumed the wire AND ran the pre-stage;
+                # matches the wire_rs tuple shape (planes, carry, packed)
+                wire_rs = (res_dc[0], res_dc[1], res_dc[2], False)
+            else:
+                fused = self._fused_pre_folded(raw_rows, carry, new)
         elif (not cfg.iq_correction
                 and lc.pre_filter is None and lc.resampler is not None):
             import os as _os

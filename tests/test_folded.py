@@ -373,3 +373,50 @@ def test_folded_wire_nco_parity(rng, monkeypatch):
     diff = got.astype(np.int32) - want.astype(np.int32)
     assert np.abs(diff).max() <= 1, np.abs(diff).max()
     assert (diff != 0).mean() < 0.05, (diff != 0).mean()
+
+
+def test_folded_dc_fused_stage0_parity(rng, monkeypatch):
+    """The DC-fused folded stage 0 (banded_apply_dc + the z·E / W_head
+    linear stitch, _wire_stage0_dc) vs the XLA folded path — the full
+    flagship shape incl. post shift + AGC after the resampler."""
+    from iq_tool_tpu.ops import pallas_kernels
+
+    cfg = _cfg(dc=True, block=4096)
+    fc_x = FoldedChain(cfg, fold=8)
+    raws = _raws(3, fc_x, rng)
+    want = _run_folded(fc_x, raws)
+    calls = []
+    orig = pallas_kernels.banded_apply_dc
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(folded_mod, "_FUSED_INTERPRET", True)
+    monkeypatch.setattr(pallas_kernels, "banded_apply_dc", spy)
+    fc_k = FoldedChain(cfg, fold=8)
+    got = _run_folded(fc_k, raws)
+    assert calls, "banded_apply_dc never engaged on the folded path"
+    diff = got.astype(np.float64) - want.astype(np.float64)
+    snr = 10 * np.log10((want.astype(np.float64) ** 2).mean()
+                        / ((diff ** 2).mean() + 1e-30))
+    assert snr > 60.0, snr
+    assert np.abs(diff).max() <= 4, np.abs(diff).max()
+
+
+def test_folded_dc_fused_stage0_multichannel_vs_sequential(rng,
+                                                           monkeypatch):
+    """C=2, F=4 folded DC-fused stage 0 vs the UNFOLDED sequential
+    chain — covers the cross-row carry stitch (W_head operand is the
+    corrected previous-row tail) against ground truth."""
+    cfg = _cfg(channels=2, dc=True, block=4096)
+    monkeypatch.setattr(folded_mod, "_FUSED_INTERPRET", True)
+    fc = FoldedChain(cfg, fold=4)
+    raws = _raws(3, fc, rng)
+    got = _run_folded(fc, raws)
+    want = _sequential(cfg, raws, 4)
+    diff = got.astype(np.float64) - want.astype(np.float64)
+    snr = 10 * np.log10((want.astype(np.float64) ** 2).mean()
+                        / ((diff ** 2).mean() + 1e-30))
+    assert snr > 60.0, snr
+    assert np.abs(diff).max() <= 4, np.abs(diff).max()
