@@ -591,9 +591,9 @@ def _banded_dc_kernel(*refs, tb, s, hist, g, mode, parts, complex_taps,
     lane0 = jax.lax.broadcasted_iota(jnp.int32, (cb, cell), 1) == 0
     af = jnp.float32(a)
     xr, xr_l, yr_l = _dc_plane_tile(xr, carry, ybuf_r, 0, m, decay, af,
-                                    lane0, cb, n_t, t)
+                                    lane0, cb, n_t, t, a=a)
     xi, xi_l, yi_l = _dc_plane_tile(xi, carry, ybuf_i, 1, m, decay, af,
-                                    lane0, cb, n_t, t)
+                                    lane0, cb, n_t, t, a=a)
     carry[:, 0:1] = xr_l
     carry[:, 1:2] = xi_l
     carry[:, 2:3] = yr_l
@@ -774,7 +774,7 @@ def banded_apply_dc(state_r: jnp.ndarray, state_i: jnp.ndarray,
 # ---------------------------- DC blocker kernel -------------------------------
 
 def _dc_plane_tile(x, carry, ybuf, pidx, m, decay, af, lane0,
-                   cb, n_t, t):
+                   cb, n_t, t, a=None):
     """One plane of the two-level DC-block recurrence over a (cb, cell)
     tile: closed-form in-subtile prefixes via ONE triangular matmul
     (m: M^T with M[i,j] = a^(i-j)), a statically unrolled loop over the
@@ -798,15 +798,30 @@ def _dc_plane_tile(x, carry, ybuf, pidx, m, decay, af, lane0,
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32).reshape(cb, n_t, t)
 
-    # static unroll (Mosaic cannot dynamic_slice VMEM *values*),
-    # assembled through a VMEM scratch (Mosaic miscompiles wide
-    # lane concats of many pieces)
-    yp = jnp.zeros((cb, 1), jnp.float32)
+    # Closed-form subtile carry: yp_j = sum_{k<=j} end_k (a^t)^(j-k) is
+    # a lower-triangular matmul over the subtile END values, so the
+    # former 32-step sequential scalar loop becomes ONE tiny exact
+    # matmul and n_t INDEPENDENT stores (Mosaic can overlap them; the
+    # VMEM-scratch assembly stays — wide multi-piece lane concats
+    # miscompile).
+    ends = y_loc[:, :, t - 1]                              # (cb, n_t)
+    # build M[k, j] = (a^t)^(j-k) for j >= k from iotas (arbitrary array
+    # constants do not lower inside Mosaic kernels)
+    k_i = jax.lax.broadcasted_iota(jnp.int32, (n_t, n_t), 0)
+    j_i = jax.lax.broadcasted_iota(jnp.int32, (n_t, n_t), 1)
+    e_ji = (j_i - k_i).astype(jnp.float32)
+    log_at = float(t) * float(np.log(np.float64(a)))  # a: python float
+    m2 = jnp.where(e_ji >= 0,
+                   jnp.exp(e_ji * jnp.float32(log_at)),
+                   jnp.float32(0.0))
+    yps = jax.lax.dot_general(
+        ends, m2, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)                # (cb, n_t)
     for j in range(n_t):
-        seg = y_loc[:, j, :] + yp * decay
-        ybuf[:, j * t:(j + 1) * t] = seg
-        yp = seg[:, t - 1:t]
-    return ybuf[...], x[:, cell - 1:cell], yp
+        start = yps[:, j - 1:j] if j else jnp.zeros((cb, 1), jnp.float32)
+        ybuf[:, j * t:(j + 1) * t] = y_loc[:, j, :] + start * decay
+    return ybuf[...], x[:, cell - 1:cell], yps[:, n_t - 1:n_t]
 
 
 def _dc_kernel(*refs, cb, cell, t, a, with_iq, dtheta,
@@ -864,9 +879,9 @@ def _dc_kernel(*refs, cb, cell, t, a, with_iq, dtheta,
         xi_val = xi_ref[...]
 
     yr, xr_l, yr_l = _dc_plane_tile(xr_val, carry, ybuf_r, 0, m, decay,
-                                    af, lane0, cb, n_t, t)
+                                    af, lane0, cb, n_t, t, a=a)
     yi, xi_l, yi_l = _dc_plane_tile(xi_val, carry, ybuf_i, 1, m, decay,
-                                    af, lane0, cb, n_t, t)
+                                    af, lane0, cb, n_t, t, a=a)
     carry[:, 0:1] = xr_l
     carry[:, 1:2] = xi_l
     carry[:, 2:3] = yr_l
@@ -1185,15 +1200,28 @@ def _nco_mix_base(ph_ref, base, cb, width, dtheta, yr, yi):
     """In-kernel NCO mix at global sample index base + lane (shared by
     _dc_kernel, _post_kernel, and the banded wire decode): wrapping int32
     arithmetic == uint32 mod 2^32, and the SIGNED value maps to the same
-    angle mod 2pi (Mosaic cannot cast uint32 -> f32)."""
-    idx = jax.lax.broadcasted_iota(jnp.int32, (cb, width), 1) + base
-    ph0 = pltpu.bitcast(ph_ref[...], jnp.int32)
+    angle mod 2pi (Mosaic cannot cast uint32 -> f32).
+
+    The rotation is computed by angle addition, cos(a+b) =
+    cos(a)cos(b) - sin(a)sin(b): ``a`` is the per-channel tile base
+    phase ((cb, 1) — 2*cb transcendentals) and ``b`` the per-lane
+    increment ((1, width) — 2*width), so the transcendental count drops
+    ~cb-fold vs the naive 2*cb*width.  Wrapping int32 phase components
+    each map to the same angle mod 2pi, so the split is exact in real
+    math; the f32 product error (~2 ulp) sits far below the chain's
+    quantization scale (the XLA path casts the summed phase instead —
+    both are within the existing fused/XLA ±1-code contract)."""
     dth_i32 = jnp.int32(np.int64(dtheta) - (1 << 32)
                         if dtheta >= (1 << 31) else dtheta)
-    phases = ph0 + idx * dth_i32
-    ang = phases.astype(jnp.float32) * jnp.float32(
-        2.0 * np.pi / 4294967296.0)
-    c_, s_ = jnp.cos(ang), jnp.sin(ang)
+    scale = jnp.float32(2.0 * np.pi / 4294967296.0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    b_ang = (lane * dth_i32).astype(jnp.float32) * scale
+    cos_b, sin_b = jnp.cos(b_ang), jnp.sin(b_ang)          # (1, width)
+    ph0 = pltpu.bitcast(ph_ref[...], jnp.int32)            # (cb, 1)
+    a_ang = (ph0 + base * dth_i32).astype(jnp.float32) * scale
+    cos_a, sin_a = jnp.cos(a_ang), jnp.sin(a_ang)          # (cb, 1)
+    c_ = cos_a * cos_b - sin_a * sin_b
+    s_ = sin_a * cos_b + cos_a * sin_b
     return yr * c_ - yi * s_, yr * s_ + yi * c_
 
 

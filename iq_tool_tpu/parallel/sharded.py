@@ -281,9 +281,8 @@ class ShardedChain:
             return None
         if pallas_kernels.dc_geometry(xr.shape[0], xr.shape[-1]) is None:
             return None
-        # gates passed — NOW it is safe to materialize the axis index
-        # (a traced-but-unused axis_index in the fallback path is the
-        # exact jaxpr delta the axon backend rejects UNIMPLEMENTED)
+        # gates passed — materialize the axis index only now (lazy; see
+        # the note at t_idx's definition)
         t_idx = t_idx_fn()
         n = xr.shape[-1]
         a_real = 1.0 - lc.dc_alpha
@@ -365,12 +364,13 @@ class ShardedChain:
         (C_local, H) slices of the (C, T*H) global arrays."""
         lc = self.local
         cfg = lc.cfg
-        # Lazy: a traced-but-unused axis_index is the ONE jaxpr difference
-        # that makes the axon backend reject the whole compiled sharded
-        # program (UNIMPLEMENTED) for configs that never consume it —
-        # verified by line-diffing jaxprs of a passing hand-inlined
-        # reconstruction vs this step.  Only materialize it when a stage
-        # actually needs the shard index.
+        # Lazy axis_index, kept as a belt-and-braces measure.  Round-2
+        # forensics blamed a traced-but-unused axis_index for the axon
+        # UNIMPLEMENTED rejections; round 4 found the REAL cause (eager
+        # complex64 in _carry_struct poisoning the process — see
+        # _carry_struct) and tools/axis_index_recheck.py shows an unused
+        # axis_index program PASSES in a clean process.  Materializing
+        # the index only when consumed still keeps the jaxpr minimal.
         _t_idx_cache = []
 
         def t_idx():
