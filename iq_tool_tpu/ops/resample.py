@@ -243,6 +243,61 @@ class _MatmulStage:
                 jax.lax.complex(nr, ni).astype(jnp.complex64))
 
 
+def dc_stage0_consts(st0, n: int, dc_alpha: float, dtheta_pre: int):
+    """Design-time correction constants for a DC-fused stage 0 that runs
+    the DC recurrence from ZERO y-state per execution row (FoldedChain's
+    fold rows, ShardedChain's time shards).  All three are images of
+    FIXED signals under the stage-0 banded map, computed exactly in
+    numpy complex128 (cached on the stage, keyed by geometry):
+
+    * E: the zero-start DC correction signal D[k] = a^(k+1)·e^{jkΔθ}
+      (the per-row missing start term, post-NCO up to the per-row phase
+      factor) pushed through stage 0 with zero window context;
+    * D_tail: D's last `hist` samples (corrects the kernel's
+      processed-tail output);
+    * W_head: the (hist, n_head·g) matrix mapping a row's true left
+      context to the head windows' outputs — rows that ran the kernel
+      with ZERO context (the true context is the previous row's
+      processed tail, known only post-kernel) get this linear term
+      added back.
+
+    Returns (e_r, e_i, dtail_r, dtail_i, w_r, w_i, n_head·g) float32.
+    """
+    key = (int(n), float(dc_alpha), int(dtheta_pre) & 0xFFFFFFFF)
+    cached = getattr(st0, "_dc0_consts", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    s, hist, g = st0.stride, st0.hist, st0._a.shape[1]
+    nb = n // s
+    l = s + hist
+    a_real = np.float64(1.0 - dc_alpha)
+    dth = key[2]
+    dth_signed = dth - (1 << 32) if dth >= (1 << 31) else dth
+    ang = np.float64(dth_signed) * (2.0 * np.pi / 4294967296.0)
+    k = np.arange(n, dtype=np.float64)
+    d_sig = np.power(a_real, k + 1) * np.exp(1j * ang * k)
+    a_mat = st0._a.astype(np.float64)
+    if st0._a_i is not None:
+        a_mat = a_mat + 1j * st0._a_i.astype(np.float64)
+    ext = np.concatenate([np.zeros(hist, np.complex128), d_sig])
+    e_sig = np.empty(nb * g, np.complex128)
+    for j in range(nb):
+        e_sig[j * g:(j + 1) * g] = ext[j * s:j * s + l] @ a_mat
+    n_head = -(-hist // s)
+    w = np.zeros((hist, n_head * g), np.complex128)
+    for j in range(n_head):
+        lo = j * s
+        span = min(l, hist - lo)
+        if span > 0:
+            w[lo:lo + span, j * g:(j + 1) * g] = a_mat[:span]
+    f32 = lambda x: np.ascontiguousarray(x.astype(np.float32))
+    consts = (f32(e_sig.real), f32(e_sig.imag),
+              f32(d_sig[n - hist:].real), f32(d_sig[n - hist:].imag),
+              f32(w.real), f32(w.imag), n_head * g)
+    st0._dc0_consts = (key, consts)
+    return consts
+
+
 @dataclasses.dataclass(frozen=True)
 class ArbPlan:
     p: int

@@ -28,6 +28,17 @@ Sequential recurrences that cross shards:
 * NCO: closed-form phase offset idx * n_sub * dtheta (uint32, exact);
 * I/Q estimation: shard 0's first 1024 samples are broadcast (masked
   psum) and the deterministic grid update runs replicated.
+
+Wire-fused stage 0 (round 4): when nothing but the pre-stage sits
+between the wire and the resampler, every shard's stage 0 consumes the
+packed cs16 wire directly (decode + DC recurrence + NCO in the kernel
+prologue, banded_apply_dc); the cross-shard DC/window stitching rides
+linearity — z·E and W_head corrections post-kernel, one extra ppermute
+of the corrected (C, 2·hist) tails — exactly the FoldedChain stitch
+with fold rows replaced by time shards (see _wire_stage0_dc).  The
+last stage quantizes back to the wire in its epilogue when nothing
+follows the resampler, so the sharded flagship runs wire->wire like
+the single-chip chain.
 """
 
 from __future__ import annotations
@@ -357,6 +368,210 @@ class ShardedChain:
              ends_i[self.t - 1] + a_l * si_arr[self.t - 1]], axis=-1)
         return yr, yi
 
+    def _wire_stage0_dc(self, raw, carry: dict, new: dict, t_idx_fn):
+        """DC-fused sharded stage 0 — the distributed twin of
+        FoldedChain._wire_stage0_dc: the whole pre-stage (wire decode +
+        DC recurrence + NCO) runs in the stage-0 kernel's prologue
+        (pallas_kernels.banded_apply_dc) on every time shard, from ZERO
+        DC y-state and (shards > 0) ZERO window context, and the
+        stitching happens post-kernel through linearity:
+
+        * the missing start·a^(k+1) term is composed across shards
+          exactly like _fused_pre_sharded (all_gather of the zero-start
+          ends + first-order prefix) and lands on the OUTPUT as z·E,
+          with E a design-time constant (resample.dc_stage0_consts) —
+          cheaper than the input-rate correction the unfused path pays;
+        * shard i's window context (shard i-1's processed tail) is known
+          only post-kernel: the corrected tails ride ONE extra ppermute
+          of (C, 2·hist) and enter the head windows through the tiny
+          exact W_head matmul; shard 0 takes the carried true tail INTO
+          the kernel;
+        * the wrapped ppermute result is the next step's rs0 carry —
+          the same packed planar layout the unfused halo stores, so
+          checkpoints interchange across the paths.
+
+        Returns (yr, yi) at the stage-0 output rate, or None (caller
+        falls back to the planar path); updates dc_x, dc_y, nco_pre and
+        rs0 in ``new``."""
+        import os
+
+        from iq_tool_tpu.ops import banded, pallas_kernels, resample
+        from iq_tool_tpu.pipeline import chain as chain_mod
+        lc = self.local
+        cfg = lc.cfg
+        if (os.environ.get("IQTOOL_DISABLE_WIRE_INPUT")
+                or os.environ.get("IQTOOL_DISABLE_DC_STAGE0")):
+            return None
+        interp = _FUSED_INTERPRET or chain_mod._FUSED_POST_INTERPRET
+        if not (banded._on_tpu() or interp):
+            return None
+        stages = lc.resampler.stages
+        if not stages or not hasattr(stages[0], "stride"):
+            return None
+        wire = convert.wire_as_i32(raw, lc.fmt_in)
+        if wire is None:
+            return None
+        st0 = stages[0]
+        hist = st0.hist
+        if pallas_kernels.plan(st0.stride, hist, st0._a.shape[1],
+                               wire.shape[-1] // st0.stride, raw.shape[0],
+                               dc=True) is None:
+            return None
+        t_idx = t_idx_fn()
+        n = lc.n_in
+        items = lc.fmt_in.items_per_frame
+        # per-shard x_prev: the preceding RAW sample — the unfused
+        # path's dc_x halo, fed from the decoded last frame
+        lr, li = convert.to_planar(raw[:, -items:], lc.fmt_in, cfg.gain)
+        use, new["dc_x"] = self._halo(
+            jnp.concatenate([lr, li], axis=-1), carry["dc_x"])
+        dth = int(lc.dtheta_pre)
+        phase = None
+        if dth:
+            phase = (carry["nco_pre"]
+                     + t_idx.astype(jnp.uint32) * jnp.uint32(n)
+                     * jnp.uint32(dth))
+        # window context: shard 0 takes the TRUE carried tail, the rest
+        # zeros (head-corrected below)
+        at0 = t_idx == 0
+        cr0 = carry["rs0"][:, :hist]
+        ci0 = carry["rs0"][:, hist:]
+        st_r = jnp.where(at0, cr0, jnp.zeros_like(cr0))
+        st_i = jnp.where(at0, ci0, jnp.zeros_like(ci0))
+        st4 = jnp.stack([use[:, 0], use[:, 1],
+                         jnp.zeros_like(use[:, 0]),
+                         jnp.zeros_like(use[:, 1])], axis=-1)
+        res, tr, ti, st4n = pallas_kernels.banded_apply_dc(
+            st_r, st_i, st4, lc.dc_alpha, st0._a, st0._a_i,
+            st0.stride, hist, wire_i32=wire,
+            wire_norm=lc.fmt_in.normalizer, wire_gain=cfg.gain,
+            nco_dtheta=dth,
+            nco_phase=phase[:, None] if dth else None,
+            pack_cs16=False, interpret=interp)
+        yr, yi = res
+        e_r, e_i, dt_r, dt_i, w_r, w_i, n_headg = resample.dc_stage0_consts(
+            st0, n, lc.dc_alpha, dth)
+        # correction 1: true per-shard DC starts (all_gather prefix
+        # compose, same as _fused_pre_sharded), rotated by the shard
+        # phase, times E
+        a_l = jnp.float32((1.0 - lc.dc_alpha) ** n)
+        ends_r = jax.lax.all_gather(st4n[:, 2], "time")          # (T, C)
+        ends_i = jax.lax.all_gather(st4n[:, 3], "time")
+        starts_r = [carry["dc_y"][:, 0]]
+        starts_i = [carry["dc_y"][:, 1]]
+        for j in range(1, self.t):
+            starts_r.append(ends_r[j - 1] + a_l * starts_r[j - 1])
+            starts_i.append(ends_i[j - 1] + a_l * starts_i[j - 1])
+        sr_arr = jnp.stack(starts_r)
+        si_arr = jnp.stack(starts_i)
+        start_r = sr_arr[t_idx]
+        start_i = si_arr[t_idx]
+        new["dc_y"] = jnp.stack(
+            [ends_r[self.t - 1] + a_l * sr_arr[self.t - 1],
+             ends_i[self.t - 1] + a_l * si_arr[self.t - 1]], axis=-1)
+        if dth:
+            z_r, z_i, _ = nco.apply_planar(start_r[:, None],
+                                           start_i[:, None], phase, 0)
+            z_r, z_i = z_r[:, 0], z_i[:, 0]
+            new["nco_pre"] = (carry["nco_pre"]
+                              + jnp.uint32(self.t * n) * jnp.uint32(dth))
+        else:
+            z_r, z_i = start_r, start_i
+        yr = yr + (z_r[:, None] * e_r[None, :]
+                   - z_i[:, None] * e_i[None, :])
+        yi = yi + (z_r[:, None] * e_i[None, :]
+                   + z_i[:, None] * e_r[None, :])
+        # true processed tails (the kernel's are zero-start)
+        tr = tr + (z_r[:, None] * dt_r[None, :]
+                   - z_i[:, None] * dt_i[None, :])
+        ti = ti + (z_r[:, None] * dt_i[None, :]
+                   + z_i[:, None] * dt_r[None, :])
+        # correction 2: shards 1..T-1 ran with zero window context — add
+        # the previous shard's true tail through the head-window matrix.
+        # Exact (HIGHEST) matmuls: tiny, and the term carries
+        # IIR-composed state.
+        recv = jax.lax.ppermute(
+            jnp.concatenate([tr, ti], axis=-1), "time",
+            [(i, (i + 1) % self.t) for i in range(self.t)])
+        new["rs0"] = recv
+        prev = jnp.where(at0, jnp.zeros_like(recv), recv)
+        prev_r, prev_i = prev[:, :hist], prev[:, hist:]
+        mm = lambda a_, b_: jnp.matmul(a_, b_,
+                                       precision=jax.lax.Precision.HIGHEST)
+        h_r = mm(prev_r, w_r) - mm(prev_i, w_i)
+        h_i = mm(prev_r, w_i) + mm(prev_i, w_r)
+        yr = yr.at[:, :n_headg].add(h_r)
+        yi = yi.at[:, :n_headg].add(h_i)
+        return yr, yi
+
+    def _wire_stage0(self, raw, carry: dict, new: dict, t_idx_fn):
+        """Sharded stage 0 straight off the packed cs16 wire (nothing
+        precedes the resampler; FoldedChain._wire_stage0's distributed
+        twin).  EXACT — unlike the DC variant no correction pass is
+        needed: without the DC recurrence the stage's true window
+        context is the previous shard's decoded (closed-form-rotated)
+        raw tail, computable pre-kernel, so the ordinary halo ppermute
+        feeds the kernel directly.  With a single-stage cascade and
+        nothing after the resampler the SAME kernel also quantizes back
+        to the wire in its epilogue (sharded wire->wire, one kernel).
+        Returns (out0, out1, packed) or None — packed means out0 is the
+        int32 wire and out1 is None; updates nco_pre and rs0 in
+        ``new``."""
+        import os
+
+        from iq_tool_tpu.ops import banded, pallas_kernels
+        from iq_tool_tpu.pipeline import chain as chain_mod
+        lc = self.local
+        cfg = lc.cfg
+        if os.environ.get("IQTOOL_DISABLE_WIRE_INPUT"):
+            return None
+        interp = _FUSED_INTERPRET or chain_mod._FUSED_POST_INTERPRET
+        if not (banded._on_tpu() or interp):
+            return None
+        stages = lc.resampler.stages
+        if not stages or not hasattr(stages[0], "stride"):
+            return None
+        wire = convert.wire_as_i32(raw, lc.fmt_in)
+        if wire is None:
+            return None
+        st0 = stages[0]
+        hist = st0.hist
+        if pallas_kernels.plan(st0.stride, hist, st0._a.shape[1],
+                               wire.shape[-1] // st0.stride,
+                               raw.shape[0]) is None:
+            return None
+        t_idx = t_idx_fn()
+        n = lc.n_in
+        items = lc.fmt_in.items_per_frame
+        lr, li = convert.to_planar(raw[:, -hist * items:], lc.fmt_in,
+                                   cfg.gain)
+        dth = int(lc.dtheta_pre)
+        pacc = None
+        if dth:
+            base = (carry["nco_pre"]
+                    + t_idx.astype(jnp.uint32) * jnp.uint32(n)
+                    * jnp.uint32(dth))
+            pacc = base[:, None]
+            # the carried/halo'd history is the POST-shift signal:
+            # rotate the decoded tail at its global sample indices
+            ph_tail = (base + jnp.uint32((n - hist) & 0xFFFFFFFF)
+                       * jnp.uint32(dth))
+            lr, li, _ = nco.apply_planar(lr, li, ph_tail, lc.dtheta_pre)
+            new["nco_pre"] = (carry["nco_pre"]
+                              + jnp.uint32(self.t * n) * jnp.uint32(dth))
+        use, new["rs0"] = self._halo(
+            jnp.concatenate([lr, li], axis=-1), carry["rs0"])
+        pack0 = (len(stages) == 1 and lc.post_filter is None
+                 and int(lc.dtheta_post) == 0 and lc.agc_cfg is None
+                 and lc.fmt_out.name == "cs16"
+                 and not os.environ.get("IQTOOL_DISABLE_PACK_OUT"))
+        res = pallas_kernels.banded_apply(
+            use[:, :hist], use[:, hist:], None, None, st0._a, st0._a_i,
+            st0.stride, hist, interpret=interp, pack_cs16=pack0,
+            wire_i32=wire, wire_norm=lc.fmt_in.normalizer,
+            wire_gain=cfg.gain, nco_dtheta=dth, nco_phase=pacc)
+        return (res, None, True) if pack0 else (*res, False)
+
     def _local_step(self, carry: dict, raw: jnp.ndarray, reset: jnp.ndarray):
         """Runs per time/channel shard inside shard_map.
 
@@ -398,23 +613,44 @@ class ShardedChain:
             return jnp.concatenate([xr[:, -h:], xi[:, -h:]], axis=-1)
 
         new = dict(carry)
-        xr, xi = convert.to_planar(raw, lc.fmt_in, cfg.gain)
+
+        # wire-fused stage 0 (round 4): nothing between the wire and the
+        # resampler but the pre-stage -> stage 0 consumes the packed
+        # wire directly, with the DC recurrence and NCO in its kernel
+        # prologue when dc_block is on (see _wire_stage0_dc)
+        wire_rs = None
+        if (lc.resampler is not None and not cfg.iq_correction
+                and lc.pre_filter is None):
+            if cfg.dc_block:
+                wire_rs = self._wire_stage0_dc(raw, carry, new, t_idx)
+            else:
+                res0 = self._wire_stage0(raw, carry, new, t_idx)
+                if res0 is not None and res0[2]:
+                    # single-stage cascade: wire in AND out in ONE kernel
+                    w16 = jax.lax.bitcast_convert_type(res0[0], jnp.int16)
+                    return new, w16.reshape(res0[0].shape[0], -1)
+                wire_rs = None if res0 is None else (res0[0], res0[1])
 
         fused = None
-        if cfg.dc_block:
-            use, new["dc_x"] = self._halo(tail2(xr, xi, 1), carry["dc_x"])
-            fused = self._fused_pre_sharded(xr, xi, use, carry, new,
+        if wire_rs is not None:
+            xr, xi = wire_rs
+        else:
+            xr, xi = convert.to_planar(raw, lc.fmt_in, cfg.gain)
+            if cfg.dc_block:
+                use, new["dc_x"] = self._halo(tail2(xr, xi, 1),
+                                              carry["dc_x"])
+                fused = self._fused_pre_sharded(xr, xi, use, carry, new,
                                                 t_idx)
-            if fused is not None:
-                xr, xi = fused
-            else:
-                yr, cyr = self._dc_sharded_plane(
-                    xr, use[:, 0:1], carry["dc_y"][:, 0], lc.dc_alpha)
-                yi, cyi = self._dc_sharded_plane(
-                    xi, use[:, 1:2], carry["dc_y"][:, 1], lc.dc_alpha)
-                xr, xi = yr, yi
-                new["dc_y"] = jnp.stack([cyr, cyi], axis=-1)
-        if fused is None and cfg.iq_correction:
+                if fused is not None:
+                    xr, xi = fused
+                else:
+                    yr, cyr = self._dc_sharded_plane(
+                        xr, use[:, 0:1], carry["dc_y"][:, 0], lc.dc_alpha)
+                    yi, cyi = self._dc_sharded_plane(
+                        xi, use[:, 1:2], carry["dc_y"][:, 1], lc.dc_alpha)
+                    xr, xi = yr, yi
+                    new["dc_y"] = jnp.stack([cyr, cyi], axis=-1)
+        if wire_rs is None and fused is None and cfg.iq_correction:
             # broadcast shard 0's leading 1024 samples (masked psum)
             nf = C.IQ_FFT_SIZE
             seg = jnp.concatenate([xr[:, :nf], xi[:, :nf]], axis=-1)
@@ -424,7 +660,7 @@ class ShardedChain:
                 seg_b[:, :nf], seg_b[:, nf:], carry["iq"], lc.iq_interval,
                 advance_samples=self.t * n_sub)
             xr, xi = iq_balance.apply_planar(xr, xi, new["iq"].factors)
-        if fused is None and int(lc.dtheta_pre) != 0:
+        if wire_rs is None and fused is None and int(lc.dtheta_pre) != 0:
             phase = (carry["nco_pre"]
                      + t_idx().astype(jnp.uint32) * jnp.uint32(n_sub)
                      * lc.dtheta_pre)
@@ -437,10 +673,32 @@ class ShardedChain:
             xr, xi, _, _ = lc.pre_filter.apply_planar(
                 xr, xi, use[:, :b], use[:, b:])
         if lc.resampler:
-            for si, stage in enumerate(lc.resampler.stages):
+            import os
+
+            from iq_tool_tpu.pipeline import chain as chain_mod
+            pack_last = (lc.post_filter is None
+                         and int(lc.dtheta_post) == 0
+                         and lc.agc_cfg is None
+                         and lc.fmt_out.name == "cs16"
+                         and not os.environ.get("IQTOOL_DISABLE_PACK_OUT"))
+            interp = _FUSED_INTERPRET or chain_mod._FUSED_POST_INTERPRET
+            stages = lc.resampler.stages
+            start = 1 if wire_rs is not None else 0
+            for si in range(start, len(stages)):
+                stage = stages[si]
                 h = carry[f"rs{si}"].shape[-1] // 2
                 use, new[f"rs{si}"] = self._halo(tail2(xr, xi, h),
                                                  carry[f"rs{si}"])
+                if (pack_last and si == len(stages) - 1
+                        and hasattr(stage, "apply_planar_packed")):
+                    # the kernel epilogue quantizes + interleaves to the
+                    # wire (see Chain._step); can_pack self-gates
+                    wire_i32, _, _ = stage.apply_planar_packed(
+                        xr, xi, use[:, :h], use[:, h:], interpret=interp)
+                    if wire_i32 is not None:
+                        w16 = jax.lax.bitcast_convert_type(wire_i32,
+                                                           jnp.int16)
+                        return new, w16.reshape(wire_i32.shape[0], -1)
                 xr, xi, _, _ = stage.apply_planar(
                     xr, xi, use[:, :h], use[:, h:])
         if lc.post_filter:

@@ -269,56 +269,14 @@ class FoldedChain:
         return yr, yi
 
     def _dc_stage0_consts(self):
-        """Design-time correction constants for the DC-fused folded
-        stage 0 (see _wire_stage0_dc).  All three are images of FIXED
-        signals under the stage-0 banded map, computed exactly in
-        numpy complex128:
-
-        * E: the zero-start DC correction signal D[k] = a^(k+1)·e^{jkΔθ}
-          (the per-row missing start term, post-NCO up to the per-row
-          phase factor) pushed through stage 0 with zero window context;
-        * D_tail: D's last `hist` samples (corrects the kernel's
-          processed-tail output);
-        * W_head: the (hist, n_head·g) matrix mapping a row's true left
-          context to the head windows' outputs — rows 1..F-1 run the
-          kernel with ZERO context (the true context is the previous
-          row's processed tail, known only post-kernel) and get this
-          linear term added back.
-        """
-        if getattr(self, "_dc0_cache", None) is not None:
-            return self._dc0_cache
+        """E / D_tail / W_head for the DC-fused folded stage 0 (see
+        _wire_stage0_dc) — the shared design-time math lives in
+        resample.dc_stage0_consts (also used by the sharded twin)."""
+        from iq_tool_tpu.ops import resample
         lc = self.local
-        st0 = lc.resampler.stages[0]
-        n = lc.n_in
-        s, hist, g = st0.stride, st0.hist, st0._a.shape[1]
-        nb = n // s
-        l = s + hist
-        a_real = np.float64(1.0 - lc.dc_alpha)
-        dth = int(lc.dtheta_pre) & 0xFFFFFFFF
-        dth_signed = dth - (1 << 32) if dth >= (1 << 31) else dth
-        ang = np.float64(dth_signed) * (2.0 * np.pi / 4294967296.0)
-        k = np.arange(n, dtype=np.float64)
-        d_sig = np.power(a_real, k + 1) * np.exp(1j * ang * k)
-        a_mat = st0._a.astype(np.float64)
-        if st0._a_i is not None:
-            a_mat = a_mat + 1j * st0._a_i.astype(np.float64)
-        ext = np.concatenate([np.zeros(hist, np.complex128), d_sig])
-        e_sig = np.empty(nb * g, np.complex128)
-        for j in range(nb):
-            e_sig[j * g:(j + 1) * g] = ext[j * s:j * s + l] @ a_mat
-        n_head = -(-hist // s)
-        w = np.zeros((hist, n_head * g), np.complex128)
-        for j in range(n_head):
-            lo = j * s
-            span = min(l, hist - lo)
-            if span > 0:
-                w[lo:lo + span, j * g:(j + 1) * g] = a_mat[:span]
-        f32 = lambda x: np.ascontiguousarray(x.astype(np.float32))
-        self._dc0_cache = (
-            f32(e_sig.real), f32(e_sig.imag),
-            f32(d_sig[n - hist:].real), f32(d_sig[n - hist:].imag),
-            f32(w.real), f32(w.imag), n_head * g)
-        return self._dc0_cache
+        return resample.dc_stage0_consts(
+            lc.resampler.stages[0], lc.n_in, lc.dc_alpha,
+            int(lc.dtheta_pre))
 
     def _wire_stage0_dc(self, raw_rows, carry, new):
         """DC-fused folded stage 0: the whole pre-stage (wire decode +

@@ -253,6 +253,113 @@ def test_time_sharded_dft_engine_filter(rng):
     assert (d != 0).mean() < 0.02
 
 
+def _run_single_subblocks(cfg, sc, raws, t):
+    """The plain single-device chain over the same stream, stepped at
+    the per-shard block size (the ground truth for sharded runs)."""
+    single = Chain(ChainConfig(**{**cfg.__dict__,
+                                  "target_block": sc.local.cfg.target_block}))
+    carry = single.init_carry()
+    outs = []
+    w = single.n_in * 2
+    for raw in raws:
+        for j in range(t):
+            carry, out = single.step(carry, raw[:, j * w:(j + 1) * w],
+                                     np.False_)
+            outs.append(np.asarray(jax.device_get(out)))
+    return np.concatenate(outs, axis=-1)
+
+
+def test_sharded_wire_stage0_dc_interpret(rng, monkeypatch):
+    """The sharded DC-fused wire stage 0 (banded_apply_dc + the z·E /
+    W_head linear stitch with the corrected-tail ppermute,
+    _wire_stage0_dc) vs the plain single-device XLA chain — the full
+    flagship shape incl. post shift + AGC after the resampler."""
+    from iq_tool_tpu.ops import pallas_kernels
+    from iq_tool_tpu.parallel import sharded as sharded_mod
+
+    calls = []
+    orig = pallas_kernels.banded_apply_dc
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sharded_mod, "_FUSED_INTERPRET", True)
+    monkeypatch.setattr(pallas_kernels, "banded_apply_dc", spy)
+    mesh = make_mesh(jax.devices()[:4], channel_shards=1, time_shards=4)
+    cfg = _full_cfg(block=4096)
+    sc = ShardedChain(cfg, mesh)
+    raws = _make_raws(3, sc.n_in, rng)
+    got = _run_blocks(sc.step, sc.init_carry(), raws)
+    assert calls, "banded_apply_dc never engaged on the sharded path"
+    want = _run_single_subblocks(cfg, sc, raws, 4)
+    diff = got.astype(np.float64) - want.astype(np.float64)
+    snr = 10 * np.log10((want.astype(np.float64) ** 2).mean()
+                        / ((diff ** 2).mean() + 1e-30))
+    assert snr > 60.0, snr
+    assert np.abs(diff).max() <= 32, np.abs(diff).max()
+
+
+def test_sharded_wire_stage0_nco_parity(rng, monkeypatch):
+    """Config #2 shape sharded (shift -> resample, lowpass composed into
+    a stage, NO dc): the exact wire stage 0 (_wire_stage0, decoded
+    rotated-tail halo) + last-stage pack-out vs the plain XLA chain.
+    bf16x3 kernel bound: +-1 code on a small fraction."""
+    from iq_tool_tpu.parallel import sharded as sharded_mod
+    monkeypatch.setattr(sharded_mod, "_FUSED_INTERPRET", True)
+    mesh = make_mesh(jax.devices()[:4], channel_shards=1, time_shards=4)
+    cfg = ChainConfig(input_format="cs16", output_format="cs16",
+                      input_rate=2_048_000.0, target_rate=1_488_375.0,
+                      freq_shift_pre_hz=250_000.0,
+                      filters=[FilterRequest("lowpass", 400_000.0)],
+                      target_block=4096)
+    sc = ShardedChain(cfg, mesh)
+    assert sc.local.pre_filter is None       # lowpass fused into a stage
+    raws = _make_raws(3, sc.n_in, rng)
+    got = _run_blocks(sc.step, sc.init_carry(), raws)
+    want = _run_single_subblocks(cfg, sc, raws, 4)
+    diff = got.astype(np.int32) - want.astype(np.int32)
+    assert np.abs(diff).max() <= 1, np.abs(diff).max()
+    assert (diff != 0).mean() < 0.05, (diff != 0).mean()
+
+
+def test_sharded_wire_to_wire_single_stage(rng, monkeypatch):
+    """Single-stage cascade (441/512) with nothing else: the sharded
+    step runs wire in AND out in ONE kernel per shard (pack epilogue);
+    parity vs the plain XLA chain."""
+    from iq_tool_tpu.parallel import sharded as sharded_mod
+    monkeypatch.setattr(sharded_mod, "_FUSED_INTERPRET", True)
+    mesh = make_mesh(jax.devices()[:4], channel_shards=1, time_shards=4)
+    cfg = ChainConfig(input_format="cs16", output_format="cs16",
+                      input_rate=2_048_000.0, target_rate=1_764_000.0,
+                      target_block=4096)
+    sc = ShardedChain(cfg, mesh)
+    assert len(sc.local.resampler.stages) == 1
+    raws = _make_raws(3, sc.n_in, rng)
+    got = _run_blocks(sc.step, sc.init_carry(), raws)
+    want = _run_single_subblocks(cfg, sc, raws, 4)
+    diff = got.astype(np.int32) - want.astype(np.int32)
+    assert np.abs(diff).max() <= 1, np.abs(diff).max()
+    assert (diff != 0).mean() < 0.05, (diff != 0).mean()
+
+
+def test_sharded_wire_stage0_dc_reset(rng, monkeypatch):
+    """Discontinuity reset through the wire-fused sharded path equals a
+    fresh start (the zero'd rs0/dc carries feed the stitch correctly)."""
+    from iq_tool_tpu.parallel import sharded as sharded_mod
+    monkeypatch.setattr(sharded_mod, "_FUSED_INTERPRET", True)
+    mesh = make_mesh(jax.devices()[:4], channel_shards=1, time_shards=4)
+    cfg = _full_cfg(block=4096)
+    sc = ShardedChain(cfg, mesh)
+    raws = _make_raws(2, sc.n_in, rng)
+    carry = sc.init_carry()
+    carry, _ = sc.step(carry, raws[0], np.False_)
+    _, out_reset = sc.step(carry, raws[1], np.True_)
+    _, out_fresh = sc.step(sc.init_carry(), raws[1], np.False_)
+    np.testing.assert_array_equal(np.asarray(jax.device_get(out_reset)),
+                                  np.asarray(jax.device_get(out_fresh)))
+
+
 def test_carry_struct_creates_no_eager_arrays(monkeypatch):
     """Constructing a ShardedChain and inspecting its carry struct/specs
     must never execute an eager device op: an eager complex64 zeros is

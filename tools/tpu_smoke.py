@@ -426,6 +426,53 @@ def main() -> int:
         check("sharded fused pre-stage == plain chain", False,
               str(e)[:200])
 
+    # sharded WIRE-FUSED stage 0 on the real chip (round 4): the
+    # flagship shape (dc + shift + resample, no iq) rides
+    # banded_apply_dc per shard with the z·E / W_head / ppermute
+    # stitch, and the last stage packs to the wire in its epilogue
+    # (parallel/sharded.py _wire_stage0_dc) — verify vs the plain chain
+    try:
+        from iq_tool_tpu.ops.fir_design import FilterRequest
+        from iq_tool_tpu.parallel.sharded import ShardedChain, make_mesh
+        from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+        cfg = ChainConfig(
+            input_format="cs16", output_format="cs16",
+            input_rate=RATE_IN, target_rate=RATE_OUT,
+            dc_block=True, freq_shift_pre_hz=100e3,
+            filters=(FilterRequest("lowpass", 400e3),),
+            target_block=16384)
+        mesh = make_mesh(jax.devices()[:1], 1, 1)
+        sc = ShardedChain(cfg, mesh)
+        plain = Chain(ChainConfig(**{**cfg.__dict__,
+                                     "target_block": sc.local.cfg
+                                     .target_block}))
+        from iq_tool_tpu.ops import pallas_kernels as _pk
+        st0 = sc.local.resampler.stages[0]
+        engaged = _pk.plan(st0.stride, st0.hist, st0._a.shape[1],
+                           sc.local.n_in // st0.stride, 1,
+                           dc=True) is not None
+        rng = np.random.default_rng(5)
+        raws = [rng.integers(-2 ** 14, 2 ** 14, (1, sc.n_in * 2))
+                .astype(np.int16) for _ in range(2)]
+        ca, cb = sc.init_carry(), plain.init_carry(1)
+        outs_a, outs_b = [], []
+        for r in raws:
+            ca, oa = sc.step(ca, r, np.bool_(False))
+            cb, ob = plain.step(cb, r, np.bool_(False))
+            outs_a.append(np.asarray(jax.device_get(oa)))
+            outs_b.append(np.asarray(jax.device_get(ob)))
+        a = np.concatenate(outs_a, -1).astype(np.float64)
+        b = np.concatenate(outs_b, -1).astype(np.float64)
+        d = np.abs(a - b)
+        snr = 10 * np.log10((b ** 2).mean() / ((d ** 2).mean() + 1e-30))
+        check("sharded wire-fused stage 0 == plain chain",
+              bool(engaged and snr > 70 and d.max() <= 4),
+              f"engaged {engaged} snr {snr:.1f} dB "
+              f"maxdiff {d.max():.0f} codes")
+    except Exception as e:
+        check("sharded wire-fused stage 0 == plain chain", False,
+              str(e)[:200])
+
     # config #4: iq + pass-range + notch + AGC (exercises the FFT filter
     # path and the complex-tap machinery — this caught the DEFAULT-
     # precision matmul-FFT bug)
