@@ -239,7 +239,11 @@ class ShardedChain:
         new_carry_y = ends[self.t - 1] + a_l * starts_arr[self.t - 1]
         return y, new_carry_y
 
-    def _agc_sharded(self, xr, xi, state, cfg, dig_pk=None):
+    def _agc_sharded_gains(self, xr, xi, state, cfg, dig_pk=None):
+        """(gains (C, n_seg) or (C, 1), seg, new_state): the per-shard
+        gain schedule with the gain scan run over the GLOBAL
+        (cross-shard) segment order — shared by the XLA apply and the
+        fused post kernel (FoldedChain._agc_folded_gains's twin)."""
         if cfg.profile == "digital":
             # dig_pk is the PRE-post-NCO local peak measured in step()
             # (must match the single-device paths' measurement point)
@@ -247,9 +251,9 @@ class ShardedChain:
                           else jnp.sqrt(jnp.max(xr * xr + xi * xi, axis=-1)))
             peak = jax.lax.pmax(peak_local, "time")
             n_total = xr.shape[-1] * self.t
-            gain, new_state = agc_ops.digital_update(state, peak, n_total, cfg)
-            g = gain[:, None]
-            return xr * g, xi * g, new_state
+            gain, new_state = agc_ops.digital_update(state, peak, n_total,
+                                                     cfg)
+            return gain[:, None], 0, new_state
         c, n = xr.shape
         n_seg, seg, beta = agc_ops.rms_params(cfg, n)
         xsr = xr[:, : n_seg * seg].reshape(c, n_seg, seg)
@@ -261,19 +265,82 @@ class ShardedChain:
             e_flat, state.gain, state.e2, beta, cfg.target)
         idx = jax.lax.axis_index("time")
         my_gains = jax.lax.dynamic_slice_in_dim(gains, idx * n_seg, n_seg, 0)
-        gseg = my_gains.T[:, :, None]
+        new_state = state._replace(
+            gain=g_fin, e2=e2_fin,
+            samples_seen=state.samples_seen + jnp.uint32(n * self.t))
+        return my_gains.T, seg, new_state
+
+    def _agc_sharded(self, xr, xi, state, cfg, dig_pk=None):
+        gains, seg, new_state = self._agc_sharded_gains(xr, xi, state, cfg,
+                                                        dig_pk)
+        if seg == 0:
+            g = gains
+            return xr * g, xi * g, new_state
+        c, n = xr.shape
+        n_seg = gains.shape[-1]
+        xsr = xr[:, : n_seg * seg].reshape(c, n_seg, seg)
+        xsi = xi[:, : n_seg * seg].reshape(c, n_seg, seg)
+        gseg = gains[:, :, None]
         yr = (xsr * gseg).reshape(c, n_seg * seg)
         yi = (xsi * gseg).reshape(c, n_seg * seg)
         if n_seg * seg < n:
             # ragged tail uses THIS shard's last gain (matches the
             # sequential per-block behavior of agc._apply_rms)
-            g_last = my_gains[-1][:, None]
+            g_last = gains[:, -1][:, None]
             yr = jnp.concatenate([yr, xr[:, n_seg * seg:] * g_last], -1)
             yi = jnp.concatenate([yi, xi[:, n_seg * seg:] * g_last], -1)
-        new_state = state._replace(
-            gain=g_fin, e2=e2_fin,
-            samples_seen=state.samples_seen + jnp.uint32(n * self.t))
         return yr, yi, new_state
+
+    def _fused_post_sharded(self, xr, xi, carry: dict, new: dict,
+                            t_idx_fn, dig_pk):
+        """Fused post-NCO + AGC apply + cs16 quantize over the per-shard
+        planes (see Chain._fused_post / FoldedChain._fused_post_folded);
+        per-shard NCO phases are the exact closed-form offsets and the
+        AGC gain schedule comes from the cross-shard scan
+        (_agc_sharded_gains).  Returns the int16 wire or None."""
+        import os
+
+        from iq_tool_tpu.ops import banded, pallas_kernels
+        from iq_tool_tpu.pipeline import chain as chain_mod
+        lc = self.local
+        if lc.fmt_out.name != "cs16":
+            return None
+        if os.environ.get("IQTOOL_DISABLE_POST_KERNEL"):
+            return None
+        interp = _FUSED_INTERPRET or chain_mod._FUSED_POST_INTERPRET
+        if not (banded._on_tpu() or interp):
+            return None
+        dth = int(lc.dtheta_post)
+        cfg_agc = lc.agc_cfg
+        if not dth and cfg_agc is None:
+            return None
+        n = xr.shape[-1]
+        new_agc = None
+        if cfg_agc is not None:
+            if (cfg_agc.profile != "digital"
+                    and agc_ops.rms_params(cfg_agc, n)[1] != C.AGC_SEGMENT):
+                return None
+            gains, seg, new_agc = self._agc_sharded_gains(
+                xr, xi, carry["agc"], cfg_agc, dig_pk)
+        else:
+            gains, seg = jnp.ones((xr.shape[0], 1), jnp.float32), 0
+        pacc = None
+        if dth:
+            pacc = (carry["nco_post"]
+                    + t_idx_fn().astype(jnp.uint32) * jnp.uint32(lc.n_out)
+                    * jnp.uint32(dth))[:, None]
+        res = pallas_kernels.post_apply(xr, xi, gains, seg, pacc, dth,
+                                        interpret=interp)
+        if res is None:
+            return None
+        if new_agc is not None:
+            new["agc"] = new_agc
+        if dth:
+            new["nco_post"] = (carry["nco_post"]
+                               + jnp.uint32(self.t * lc.n_out)
+                               * jnp.uint32(dth))
+        wire = jax.lax.bitcast_convert_type(res, jnp.int16)
+        return wire.reshape(xr.shape[0], 2 * n)
 
     def _fused_pre_sharded(self, xr, xi, x_prev_use, carry: dict, new: dict,
                            t_idx_fn):
@@ -712,6 +779,10 @@ class ShardedChain:
         dig_pk = None
         if lc.agc_cfg is not None and lc.agc_cfg.profile == "digital":
             dig_pk = jnp.sqrt(jnp.max(xr * xr + xi * xi, axis=-1))
+        fused_out = self._fused_post_sharded(xr, xi, carry, new, t_idx,
+                                             dig_pk)
+        if fused_out is not None:
+            return new, fused_out
         if int(lc.dtheta_post) != 0:
             n_out_sub = lc.n_out
             phase = (carry["nco_post"]

@@ -278,20 +278,30 @@ def test_sharded_wire_stage0_dc_interpret(rng, monkeypatch):
     from iq_tool_tpu.parallel import sharded as sharded_mod
 
     calls = []
+    post_calls = []
     orig = pallas_kernels.banded_apply_dc
+    orig_post = pallas_kernels.post_apply
 
     def spy(*a, **k):
         calls.append(1)
         return orig(*a, **k)
 
+    def spy_post(*a, **k):
+        r = orig_post(*a, **k)
+        if r is not None:
+            post_calls.append(1)
+        return r
+
     monkeypatch.setattr(sharded_mod, "_FUSED_INTERPRET", True)
     monkeypatch.setattr(pallas_kernels, "banded_apply_dc", spy)
+    monkeypatch.setattr(pallas_kernels, "post_apply", spy_post)
     mesh = make_mesh(jax.devices()[:4], channel_shards=1, time_shards=4)
     cfg = _full_cfg(block=4096)
     sc = ShardedChain(cfg, mesh)
     raws = _make_raws(3, sc.n_in, rng)
     got = _run_blocks(sc.step, sc.init_carry(), raws)
     assert calls, "banded_apply_dc never engaged on the sharded path"
+    assert post_calls, "fused post kernel never engaged on the sharded path"
     want = _run_single_subblocks(cfg, sc, raws, 4)
     diff = got.astype(np.float64) - want.astype(np.float64)
     snr = 10 * np.log10((want.astype(np.float64) ** 2).mean()
@@ -358,6 +368,44 @@ def test_sharded_wire_stage0_dc_reset(rng, monkeypatch):
     _, out_fresh = sc.step(sc.init_carry(), raws[1], np.False_)
     np.testing.assert_array_equal(np.asarray(jax.device_get(out_reset)),
                                   np.asarray(jax.device_get(out_fresh)))
+
+
+def test_sharded_digital_agc_fused_xla_decisions(rng, monkeypatch):
+    """The sharded fused post kernel (interpret) and the sharded XLA
+    post path must make identical digital AGC lock/clip/creep decisions:
+    both measure the pmax block peak PRE-post-NCO, so the carried
+    AgcState must match exactly across the paths (the chain-level twin
+    is tests/test_agc.py::test_digital_fused_xla_decision_equivalence)."""
+    from iq_tool_tpu.parallel import sharded as sharded_mod
+
+    cfg = ChainConfig(input_format="cs16", output_format="cs16",
+                      input_rate=2_048_000.0, target_rate=1_488_375.0,
+                      freq_shift_post_hz=-25_000.0,
+                      filters=[FilterRequest("lowpass", 400_000.0)],
+                      agc_profile="digital", target_block=4096)
+    mesh = make_mesh(jax.devices()[:4], channel_shards=1, time_shards=4)
+
+    def run():
+        sc = ShardedChain(cfg, mesh)
+        carry = sc.init_carry()
+        raws = _make_raws(6, sc.n_in, np.random.default_rng(7))
+        states, outs = [], []
+        for r in raws:
+            carry, o = sc.step(carry, r, np.False_)
+            states.append(jax.device_get(carry["agc"]))
+            outs.append(np.asarray(jax.device_get(o)))
+        return states, outs
+
+    xla_states, xla_outs = run()
+    monkeypatch.setattr(sharded_mod, "_FUSED_INTERPRET", True)
+    fused_states, fused_outs = run()
+    for sx, sf in zip(xla_states, fused_states):
+        np.testing.assert_array_equal(np.asarray(sx.locked),
+                                      np.asarray(sf.locked))
+        np.testing.assert_array_equal(np.asarray(sx.gain),
+                                      np.asarray(sf.gain))
+    for ox, of in zip(xla_outs, fused_outs):
+        assert np.abs(ox.astype(np.int32) - of.astype(np.int32)).max() <= 1
 
 
 def test_carry_struct_creates_no_eager_arrays(monkeypatch):
