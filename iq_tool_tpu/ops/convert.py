@@ -82,17 +82,53 @@ def to_planar(raw: jnp.ndarray, fmt: SampleFormat | str, gain: float = 1.0):
     return pairs[..., 0], pairs[..., 1]
 
 
-def wire_as_i32(raw: jnp.ndarray, fmt: SampleFormat | str):
-    """Packed int32 view of an interleaved 2x16-bit wire block (I in the
-    low half, Q in the high half, little-endian) for kernels that
-    de-interleave in-register (pallas_kernels.dc_block_apply wire mode).
-    Returns (C, N) int32 or None when the format has no such packing."""
+def wire_pack(raw: jnp.ndarray, fmt: SampleFormat | str):
+    """(packed wire array, kind) for kernels that decode in-register, or
+    None when the format has no one-element-per-frame packing.
+
+    kind "cs16": (C, N) int32, I in the low 16 bits, Q in the high;
+    kind "cu8"/"cs8": (C, N) int16, I in the low byte, Q in the high
+    (little-endian byte order of the interleaved wire).  The 8-bit kinds
+    cover the RTL-SDR (cu8) and HackRF (cs8) native formats."""
     fmt = get_format(fmt) if isinstance(fmt, str) else fmt
-    if fmt.name != "cs16" or fmt.wire_dtype != np.int16:
-        return None
     c = raw.shape[0]
-    return jax.lax.bitcast_convert_type(
-        raw.reshape(c, raw.shape[-1] // 2, 2), jnp.int32)
+    if fmt.name == "cs16" and fmt.wire_dtype == np.int16:
+        return jax.lax.bitcast_convert_type(
+            raw.reshape(c, raw.shape[-1] // 2, 2), jnp.int32), "cs16"
+    if fmt.name in ("cu8", "cs8"):
+        return jax.lax.bitcast_convert_type(
+            raw.reshape(c, raw.shape[-1] // 2, 2), jnp.int16), fmt.name
+    return None
+
+
+def decode_packed(w: jnp.ndarray, kind: str, norm: float, gain: float):
+    """XLA decode of a packed wire slice from wire_pack — the exact twin
+    of the kernels' in-register decode (pallas_kernels._wire_decode),
+    for the small prefix/tail slices host-side fusions need.  Returns
+    (xr, xi) float32 with to_planar's operation order."""
+    v = w.astype(jnp.int32)
+    if kind == "cs16":
+        i_val = (v << 16) >> 16
+        q_val = v >> 16
+        off = 0.0
+    elif kind == "cu8":
+        i_val = v & 0xFF
+        q_val = (v >> 8) & 0xFF
+        off = 127.5
+    elif kind == "cs8":
+        i_val = (v << 24) >> 24
+        q_val = (v << 16) >> 24
+        off = 0.0
+    else:
+        raise ValueError(f"unknown packed wire kind {kind!r}")
+    xr = i_val.astype(jnp.float32)
+    xi = q_val.astype(jnp.float32)
+    if off:
+        xr = xr - jnp.float32(off)
+        xi = xi - jnp.float32(off)
+    g = jnp.float32(gain)
+    n = jnp.float32(norm)
+    return (xr * n) * g, (xi * n) * g
 
 
 def to_cf32(raw: jnp.ndarray, fmt: SampleFormat | str, gain: float = 1.0):

@@ -162,18 +162,19 @@ def _shift_rows(b, h, st, *, cb, tb, s, hist, parts=2):
 
 
 def _banded_inputs(refs, n_mats, wire_norm, wire_gain,
-                   dtheta=0, cell=0, s2=0):
+                   dtheta=0, cell=0, s2=0, wire_kind="cs16"):
     """Split a banded kernel's positional refs into decoded VALUES.
 
     Planar layout: (xr_b, xr_h, xr_st, xi_b, xi_h, xi_st, mats..., outs...).
     Wire layout:   (w_b, w_h, st_r, st_i, [phase], mats..., outs...) —
-    the packed int32 cs16 wire is de-interleaved and normalized
-    in-register, so the separate conversion pass never touches HBM (the
-    input twin of the pack_cs16 output epilogue).  With ``dtheta`` the
-    decoded samples are also NCO-mixed at their global indices (bulk at
-    i*cell, halo at i*cell - s2; tile 0's halo is unused garbage and the
-    carried state arrives PRE-rotated from the caller), fusing the
-    pre-resample frequency shift into the same pass."""
+    the packed wire (int32 cs16 or int16 cu8/cs8, convert.wire_pack) is
+    de-interleaved and normalized in-register, so the separate
+    conversion pass never touches HBM (the input twin of the pack_cs16
+    output epilogue).  With ``dtheta`` the decoded samples are also
+    NCO-mixed at their global indices (bulk at i*cell, halo at
+    i*cell - s2; tile 0's halo is unused garbage and the carried state
+    arrives PRE-rotated from the caller), fusing the pre-resample
+    frequency shift into the same pass."""
     refs = list(refs)
     if wire_norm:
         wb = refs.pop(0)[...]
@@ -183,11 +184,7 @@ def _banded_inputs(refs, n_mats, wire_norm, wire_gain,
         ph_ref = refs.pop(0) if dtheta else None
 
         def dec(v):
-            xr = (((v << 16) >> 16).astype(jnp.float32)
-                  * jnp.float32(wire_norm)) * jnp.float32(wire_gain)
-            xi = ((v >> 16).astype(jnp.float32)
-                  * jnp.float32(wire_norm)) * jnp.float32(wire_gain)
-            return xr, xi
+            return _wire_decode(v, wire_kind, wire_norm, wire_gain)
 
         xrb, xib = dec(wb)
         xrh, xih = dec(wh)
@@ -381,7 +378,8 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
                  interpret: bool = False, pack_cs16: bool = False,
                  wire_i32: jnp.ndarray | None = None,
                  wire_norm: float = 0.0, wire_gain: float = 1.0,
-                 nco_dtheta: int = 0, nco_phase: jnp.ndarray | None = None):
+                 nco_dtheta: int = 0, nco_phase: jnp.ndarray | None = None,
+                 wire_kind: str = "cs16"):
     """Fused strided-window banded matmul.
 
     state_*: (C, hist) carried tap history (precedes this block's x);
@@ -426,7 +424,7 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
     cell = tb * s
     complex_taps = a_i is not None and np.any(a_i)
     wire_args = (wire_norm if wire_i32 is not None else 0.0, wire_gain,
-                 nco_dtheta, cell, s2)
+                 nco_dtheta, cell, s2, wire_kind)
 
     # ragged grid when tb does not divide nb: Pallas masks the partial
     # last tile (plan() prefers exact divisors; nb values like 882 =
@@ -529,7 +527,8 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
 # ---------------- DC-fused banded stage-0 kernel ------------------------------
 
 def _banded_dc_kernel(*refs, tb, s, hist, g, mode, parts, complex_taps,
-                      pack, wire_norm, wire_gain, dtheta, a, t):
+                      pack, wire_norm, wire_gain, dtheta, a, t,
+                      wire_kind="cs16"):
     """Resampler stage 0 with the whole PRE-stage fused into its
     prologue: packed cs16 wire decode -> DC-block recurrence -> NCO mix
     -> strided-window banded matmul, one HBM read of the wire and one
@@ -578,11 +577,7 @@ def _banded_dc_kernel(*refs, tb, s, hist, g, mode, parts, complex_taps,
         carry[...] = dcst_ref[...]
 
     # wire decode (same op order as convert.to_planar)
-    v = w_ref[...]
-    xr = (((v << 16) >> 16).astype(jnp.float32)
-          * jnp.float32(wire_norm)) * jnp.float32(wire_gain)
-    xi = ((v >> 16).astype(jnp.float32)
-          * jnp.float32(wire_norm)) * jnp.float32(wire_gain)
+    xr, xi = _wire_decode(w_ref[...], wire_kind, wire_norm, wire_gain)
 
     # DC recurrence across the tile (sequential via the carry scratch)
     n_t = cell // t
@@ -660,7 +655,8 @@ def banded_apply_dc(state_r: jnp.ndarray, state_i: jnp.ndarray,
                     nco_dtheta: int = 0,
                     nco_phase: jnp.ndarray | None = None,
                     pack_cs16: bool = False,
-                    interpret: bool = False):
+                    interpret: bool = False,
+                    wire_kind: str = "cs16"):
     """Stage-0 banded map with the fused wire-decode + DC + NCO prologue
     (see _banded_dc_kernel).  state_*: (C, hist) PROCESSED stage history
     (post-DC, pre-rotated); dc_state: (C, 4) [xr, xi, yr, yi] prevs.
@@ -695,7 +691,7 @@ def banded_apply_dc(state_r: jnp.ndarray, state_i: jnp.ndarray,
         _banded_dc_kernel, tb=tb, s=s, hist=hist, g=g, mode=mode,
         parts=parts, complex_taps=complex_taps, pack=pack_cs16,
         wire_norm=float(wire_norm), wire_gain=float(wire_gain),
-        dtheta=nco_dtheta, a=a, t=t)
+        dtheta=nco_dtheta, a=a, t=t, wire_kind=wire_kind)
 
     if mode == "shift":
         per = [_split_matrix(a_r, s, hist, parts)]
@@ -824,8 +820,31 @@ def _dc_plane_tile(x, carry, ybuf, pidx, m, decay, af, lane0,
     return ybuf[...], x[:, cell - 1:cell], yps[:, n_t - 1:n_t]
 
 
+def _wire_decode(v, kind, norm, gain):
+    """In-register decode of one packed wire tile (see convert.wire_pack
+    for the layouts; convert.decode_packed is the XLA twin — keep the
+    operation order identical: (x - off) * norm * gain, all f32)."""
+    vi = v if v.dtype == jnp.int32 else v.astype(jnp.int32)
+    if kind == "cs16":
+        i_val, q_val, off = (vi << 16) >> 16, vi >> 16, 0.0
+    elif kind == "cu8":
+        i_val, q_val, off = vi & 0xFF, (vi >> 8) & 0xFF, 127.5
+    elif kind == "cs8":
+        i_val, q_val, off = (vi << 24) >> 24, (vi << 16) >> 24, 0.0
+    else:
+        raise ValueError(f"unknown packed wire kind {kind!r}")
+    xr = i_val.astype(jnp.float32)
+    xi = q_val.astype(jnp.float32)
+    if off:
+        xr = xr - jnp.float32(off)
+        xi = xi - jnp.float32(off)
+    g = jnp.float32(gain)
+    n = jnp.float32(norm)
+    return (xr * n) * g, (xi * n) * g
+
+
 def _dc_kernel(*refs, cb, cell, t, a, with_iq, dtheta,
-               wire_norm=0.0, wire_gain=1.0):
+               wire_norm=0.0, wire_gain=1.0, wire_kind="cs16"):
     """Fused DC-block recurrence over one (cb, cell) tile, with optional
     I/Q-imbalance apply and NCO mix postamble (saving two full HBM round
     trips of the chain's pre-stage).
@@ -867,13 +886,8 @@ def _dc_kernel(*refs, cb, cell, t, a, with_iq, dtheta,
     af = jnp.float32(a)
 
     if wire_norm:
-        v = wire_ref[...]
-        # sign-extend low/high halves; (x * norm) * gain matches
-        # convert.to_planar's f32 operation order exactly
-        xr_val = (((v << 16) >> 16).astype(jnp.float32)
-                  * jnp.float32(wire_norm)) * jnp.float32(wire_gain)
-        xi_val = ((v >> 16).astype(jnp.float32)
-                  * jnp.float32(wire_norm)) * jnp.float32(wire_gain)
+        xr_val, xi_val = _wire_decode(wire_ref[...], wire_kind,
+                                      wire_norm, wire_gain)
     else:
         xr_val = xr_ref[...]
         xi_val = xi_ref[...]
@@ -935,16 +949,19 @@ def dc_block_apply(xr: jnp.ndarray, xi: jnp.ndarray, state: jnp.ndarray,
                    alpha: float, iq_factors=None, phase_acc=None,
                    dtheta: int = 0, interpret: bool = False,
                    wire_i32: jnp.ndarray | None = None,
-                   wire_norm: float = 0.0, wire_gain: float = 1.0):
+                   wire_norm: float = 0.0, wire_gain: float = 1.0,
+                   wire_kind: str = "cs16"):
     """Planar DC blocker with optional fused I/Q apply + NCO mix.
 
     x*: (C, N); state: (C, 4) f32 rows [xr_prev, xi_prev, yr_prev,
     yi_prev]; iq_factors: (C, 2) f32 [gain, phase] or None; phase_acc:
     (C, 1) uint32 (required when dtheta != 0).  With ``wire_i32`` (and
-    wire_norm/wire_gain), the input is instead the packed int32 cs16
-    wire (I low, Q high) and format conversion happens in-register —
-    xr/xi may then be None.  Returns (yr, yi, new_state).  Returns None
-    when the geometry cannot lower (caller falls back)."""
+    wire_norm/wire_gain), the input is instead the packed wire from
+    convert.wire_pack — int32 cs16 (I low half, Q high) or, with
+    ``wire_kind`` "cu8"/"cs8", int16 byte pairs — and format conversion
+    happens in-register; xr/xi may then be None.  Returns (yr, yi,
+    new_state).  Returns None when the geometry cannot lower (caller
+    falls back)."""
     ch, n = (wire_i32 if wire_i32 is not None else xr).shape
     a = float(1.0 - alpha)
     t = 128
@@ -962,7 +979,8 @@ def dc_block_apply(xr: jnp.ndarray, xi: jnp.ndarray, state: jnp.ndarray,
                              with_iq=with_iq, dtheta=dtheta,
                              wire_norm=(float(wire_norm)
                                         if wire_i32 is not None else 0.0),
-                             wire_gain=float(wire_gain))
+                             wire_gain=float(wire_gain),
+                             wire_kind=wire_kind)
     x_spec = pl.BlockSpec((cb, cell), lambda c, i: (c, i),
                           memory_space=pltpu.VMEM)
     st_spec = pl.BlockSpec((cb, 4), lambda c, i: (c, 0),

@@ -475,9 +475,10 @@ class ShardedChain:
         stages = lc.resampler.stages
         if not stages or not hasattr(stages[0], "stride"):
             return None
-        wire = convert.wire_as_i32(raw, lc.fmt_in)
-        if wire is None:
+        packed = convert.wire_pack(raw, lc.fmt_in)
+        if packed is None:
             return None
+        wire, kind = packed
         st0 = stages[0]
         hist = st0.hist
         if pallas_kernels.plan(st0.stride, hist, st0._a.shape[1],
@@ -514,7 +515,7 @@ class ShardedChain:
             wire_norm=lc.fmt_in.normalizer, wire_gain=cfg.gain,
             nco_dtheta=dth,
             nco_phase=phase[:, None] if dth else None,
-            pack_cs16=False, interpret=interp)
+            pack_cs16=False, interpret=interp, wire_kind=kind)
         yr, yi = res
         e_r, e_i, dt_r, dt_i, w_r, w_i, n_headg = resample.dc_stage0_consts(
             st0, n, lc.dc_alpha, dth)
@@ -598,9 +599,10 @@ class ShardedChain:
         stages = lc.resampler.stages
         if not stages or not hasattr(stages[0], "stride"):
             return None
-        wire = convert.wire_as_i32(raw, lc.fmt_in)
-        if wire is None:
+        packed = convert.wire_pack(raw, lc.fmt_in)
+        if packed is None:
             return None
+        wire, kind = packed
         st0 = stages[0]
         hist = st0.hist
         if pallas_kernels.plan(st0.stride, hist, st0._a.shape[1],
@@ -636,7 +638,8 @@ class ShardedChain:
             use[:, :hist], use[:, hist:], None, None, st0._a, st0._a_i,
             st0.stride, hist, interpret=interp, pack_cs16=pack0,
             wire_i32=wire, wire_norm=lc.fmt_in.normalizer,
-            wire_gain=cfg.gain, nco_dtheta=dth, nco_phase=pacc)
+            wire_gain=cfg.gain, nco_dtheta=dth, nco_phase=pacc,
+            wire_kind=kind)
         return (res, None, True) if pack0 else (*res, False)
 
     def _local_step(self, carry: dict, raw: jnp.ndarray, reset: jnp.ndarray):

@@ -266,8 +266,8 @@ class Chain:
     # ------------------------------ step --------------------------------------
 
     def _fused_pre(self, raw, carry: dict, new: dict):
-        """Format convert (cs16: in-register from the packed wire) +
-        DC block + I/Q apply + pre-NCO as ONE Pallas kernel pass on TPU.
+        """Format convert (cs16/cu8/cs8: in-register from the packed
+        wire) + DC block + I/Q apply + pre-NCO as ONE Pallas pass on TPU.
         Returns (xr, xi) or None when the kernel is unavailable (CPU,
         odd geometry) — the caller then converts and falls back to the
         separate ops.  The I/Q estimator taps the DC'd pre-apply signal,
@@ -291,7 +291,8 @@ class Chain:
         # is near-identical — the planar form is faster there.
         skip_wire = (os.environ.get("IQTOOL_DISABLE_WIRE_INPUT")
                      or (cfg.iq_correction and self._has_fft_filter))
-        wire = None if skip_wire else convert.wire_as_i32(raw, self.fmt_in)
+        packed = None if skip_wire else convert.wire_pack(raw, self.fmt_in)
+        wire, kind = packed if packed is not None else (None, "cs16")
         xr = xi = None
         if wire is None:
             xr, xi = convert.to_planar(raw, self.fmt_in, cfg.gain)
@@ -306,11 +307,8 @@ class Chain:
                 # from raw: a second consumer of raw makes XLA keep the
                 # whole int16 input live across the step (measured: temp
                 # arena 9.6 GB vs 1.0 GB, config #4 1158 vs 1836 Msps)
-                w = wire[:, :m]
-                norm = jnp.float32(self.fmt_in.normalizer)
-                g = jnp.float32(cfg.gain)
-                pr = (((w << 16) >> 16).astype(jnp.float32) * norm) * g
-                pi_ = ((w >> 16).astype(jnp.float32) * norm) * g
+                pr, pi_ = convert.decode_packed(
+                    wire[:, :m], kind, self.fmt_in.normalizer, cfg.gain)
             seg_r, _, _ = dc_block._apply_plane(
                 pr, st.xr_prev, st.yr_prev, self.dc_alpha)
             seg_i, _, _ = dc_block._apply_plane(
@@ -326,7 +324,8 @@ class Chain:
         res = pallas_kernels.dc_block_apply(
             xr, xi, st4, self.dc_alpha, iqf, pacc, dth,
             interpret=_FUSED_PRE_INTERPRET, wire_i32=wire,
-            wire_norm=self.fmt_in.normalizer, wire_gain=cfg.gain)
+            wire_norm=self.fmt_in.normalizer, wire_gain=cfg.gain,
+            wire_kind=kind)
         if res is None:
             if cfg.iq_correction:
                 del new["iq"]     # recomputed by the fallback path
@@ -418,9 +417,10 @@ class Chain:
         pack_ok = not os.environ.get("IQTOOL_DISABLE_PACK_OUT")
         if not (banded._on_tpu() or _FUSED_POST_INTERPRET):
             return None
-        wire = convert.wire_as_i32(raw, self.fmt_in)
-        if wire is None:
+        packed = convert.wire_pack(raw, self.fmt_in)
+        if packed is None:
             return None
+        wire, kind = packed
         stages = self.resampler.stages
         if not stages or not hasattr(stages[0], "stride"):
             return None
@@ -446,7 +446,7 @@ class Chain:
                 st0.stride, st0.hist, wire_i32=wire,
                 wire_norm=self.fmt_in.normalizer, wire_gain=cfg.gain,
                 nco_dtheta=dth, nco_phase=pacc, pack_cs16=pack0,
-                interpret=_FUSED_POST_INTERPRET)
+                interpret=_FUSED_POST_INTERPRET, wire_kind=kind)
             new["dc"] = dc_block.PlanarDcState(
                 st4n[:, 0], st4n[:, 1], st4n[:, 2], st4n[:, 3])
             if dth:
@@ -459,7 +459,8 @@ class Chain:
                 st0.hist, interpret=_FUSED_POST_INTERPRET,
                 pack_cs16=pack0, wire_i32=wire,
                 wire_norm=self.fmt_in.normalizer,
-                wire_gain=cfg.gain, nco_dtheta=dth, nco_phase=pacc)
+                wire_gain=cfg.gain, nco_dtheta=dth, nco_phase=pacc,
+                wire_kind=kind)
             tr, ti = convert.to_planar(raw[:, -st0.hist * items:],
                                        self.fmt_in, cfg.gain)
             if dth:

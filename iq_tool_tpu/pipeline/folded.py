@@ -199,8 +199,9 @@ class FoldedChain:
         # FFT-path filter + wire input trips a pathological XLA schedule
         skip_wire = (os.environ.get("IQTOOL_DISABLE_WIRE_INPUT")
                      or (cfg.iq_correction and lc._has_fft_filter))
-        wire = (None if skip_wire
-                else convert.wire_as_i32(raw_rows, lc.fmt_in))
+        packed = (None if skip_wire
+                  else convert.wire_pack(raw_rows, lc.fmt_in))
+        wire, kind = packed if packed is not None else (None, "cs16")
         xr = xi = None
         if wire is None:
             xr, xi = convert.to_planar(raw_rows, lc.fmt_in, cfg.gain)
@@ -244,7 +245,8 @@ class FoldedChain:
             lc.dc_alpha, self._rep(iqf) if iqf is not None else None,
             phase[:, None] if phase is not None else None, dth,
             interpret=_FUSED_INTERPRET, wire_i32=wire,
-            wire_norm=lc.fmt_in.normalizer, wire_gain=cfg.gain)
+            wire_norm=lc.fmt_in.normalizer, wire_gain=cfg.gain,
+            wire_kind=kind)
         if res is None:
             if cfg.iq_correction:
                 del new["iq"]
@@ -319,9 +321,10 @@ class FoldedChain:
         stages = lc.resampler.stages
         if not stages or not hasattr(stages[0], "stride"):
             return None
-        wire = convert.wire_as_i32(raw_rows, lc.fmt_in)
-        if wire is None:
+        packed = convert.wire_pack(raw_rows, lc.fmt_in)
+        if packed is None:
             return None
+        wire, kind = packed
         st0 = stages[0]
         hist = st0.hist
         if pallas_kernels.plan(st0.stride, hist, st0._a.shape[1],
@@ -354,7 +357,7 @@ class FoldedChain:
             wire_norm=lc.fmt_in.normalizer, wire_gain=cfg.gain,
             nco_dtheta=dth,
             nco_phase=ph[:, None] if dth else None,
-            pack_cs16=False, interpret=interp)
+            pack_cs16=False, interpret=interp, wire_kind=kind)
         yr, yi = res
         e_r, e_i, dt_r, dt_i, w_r, w_i, n_headg = self._dc_stage0_consts()
         # correction 1: true per-row DC starts (sequential compose, same
@@ -422,9 +425,10 @@ class FoldedChain:
         stages = lc.resampler.stages
         if not stages or not hasattr(stages[0], "stride"):
             return None
-        wire = convert.wire_as_i32(raw_rows, lc.fmt_in)
-        if wire is None:
+        packed = convert.wire_pack(raw_rows, lc.fmt_in)
+        if packed is None:
             return None
+        wire, kind = packed
         st0 = stages[0]
         if pallas_kernels.plan(st0.stride, st0.hist, st0._a.shape[1],
                                wire.shape[-1] // st0.stride,
@@ -450,7 +454,7 @@ class FoldedChain:
             ur, ui, None, None, st0._a, st0._a_i, st0.stride, st0.hist,
             interpret=interp, pack_cs16=pack0, wire_i32=wire,
             wire_norm=lc.fmt_in.normalizer, wire_gain=lc.cfg.gain,
-            nco_dtheta=dth, nco_phase=pacc)
+            nco_dtheta=dth, nco_phase=pacc, wire_kind=kind)
         return (res, None, (cr, ci), True) if pack0 else (*res, (cr, ci),
                                                           False)
 

@@ -89,3 +89,30 @@ def test_batched_shapes(rng):
     assert out.shape == (4, 256)
     back = convert.from_cf32(out, "cs16")
     assert back.shape == (4, 512)
+
+
+@pytest.mark.parametrize("fmt,dtype,lo,hi", [
+    ("cs16", np.int16, -2 ** 15, 2 ** 15),
+    ("cu8", np.uint8, 0, 256),
+    ("cs8", np.int8, -128, 128),
+])
+def test_decode_packed_matches_to_planar(rng, fmt, dtype, lo, hi):
+    """convert.decode_packed (the XLA twin of the kernels' in-register
+    wire decode) is bit-identical to to_planar for every packable
+    format — incl. the unsigned mid-code offset (cu8) and byte sign
+    extension (cs8)."""
+    raw = rng.integers(lo, hi, (3, 512)).astype(dtype)
+    packed = convert.wire_pack(raw, fmt)
+    assert packed is not None
+    w, kind = packed
+    assert kind == fmt
+    norm = get_format(fmt).normalizer
+    xr, xi = convert.decode_packed(w, kind, norm, 1.5)
+    er, ei = convert.to_planar(raw, fmt, 1.5)
+    np.testing.assert_array_equal(np.asarray(xr), np.asarray(er))
+    np.testing.assert_array_equal(np.asarray(xi), np.asarray(ei))
+
+
+def test_wire_pack_declines_unpackable(rng):
+    raw = rng.integers(0, 255, (1, 512 * 6)).astype(np.uint8)
+    assert convert.wire_pack(raw, "cs24") is None

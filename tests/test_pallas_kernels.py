@@ -629,3 +629,70 @@ def test_dc_fused_stage0_vs_fused_pre(rng, monkeypatch):
     want = _run_chain_blocks(cfg, raws)
     diff = got.astype(np.int32) - want.astype(np.int32)
     assert np.abs(diff).max() <= 1, np.abs(diff).max()
+
+
+def test_fused_pre_cu8_wire_chain_parity(rng, monkeypatch):
+    """Config-#3 shape (cu8 -> dc -> fft band-pass -> resample): the
+    fused pre kernel decodes the int16-packed cu8 wire in-register
+    (round 4 — previously only cs16 had a wire path); parity vs the
+    separate-op chain and the wire mode must actually engage."""
+    from iq_tool_tpu.ops.fir_design import FilterRequest
+    from iq_tool_tpu.pipeline import chain as chain_mod
+    from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+
+    cfg = ChainConfig(input_format="cu8", output_format="cs16",
+                      input_rate=2_048_000.0, target_rate=1_488_375.0,
+                      dc_block=True,
+                      filters=[FilterRequest("pass-range", 0.0, 400_000.0)],
+                      filter_method="fft", filter_stage="pre",
+                      target_block=4096)
+    raws = [rng.integers(0, 256, (1, Chain(cfg).in_wire_len))
+            .astype(np.uint8) for _ in range(3)]
+    want = _run_chain_blocks(cfg, raws)
+
+    wire_calls = []
+    orig = pallas_kernels.dc_block_apply
+
+    def spy(*a, **k):
+        if k.get("wire_i32") is not None:
+            wire_calls.append(k.get("wire_kind"))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(chain_mod, "_FUSED_PRE_INTERPRET", True)
+    monkeypatch.setattr(pallas_kernels, "dc_block_apply", spy)
+    got = _run_chain_blocks(cfg, raws)
+    assert "cu8" in wire_calls, wire_calls
+    diff = got.astype(np.int32) - want.astype(np.int32)
+    assert np.abs(diff).max() <= 4, np.abs(diff).max()
+
+
+def test_dc_fused_stage0_cs8_wire_parity(rng, monkeypatch):
+    """Flagship shape with a SIGNED 8-bit input (cs8, HackRF's native
+    format): the DC-fused stage 0 decodes the int16-packed cs8 wire —
+    covers the byte sign extension in the in-kernel decode."""
+    from iq_tool_tpu.ops.fir_design import FilterRequest
+    from iq_tool_tpu.pipeline import chain as chain_mod
+    from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+
+    cfg = ChainConfig(input_format="cs8", output_format="cs16",
+                      input_rate=2_048_000.0, target_rate=1_488_375.0,
+                      dc_block=True, freq_shift_pre_hz=100_000.0,
+                      filters=[FilterRequest("lowpass", 400_000.0)],
+                      target_block=4096)
+    raws = [rng.integers(-128, 128, (1, Chain(cfg).in_wire_len))
+            .astype(np.int8) for _ in range(3)]
+    want = _run_chain_blocks(cfg, raws)
+
+    calls = []
+    orig = pallas_kernels.banded_apply_dc
+
+    def spy(*a, **k):
+        calls.append(k.get("wire_kind"))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(chain_mod, "_FUSED_POST_INTERPRET", True)
+    monkeypatch.setattr(pallas_kernels, "banded_apply_dc", spy)
+    got = _run_chain_blocks(cfg, raws)
+    assert "cs8" in calls, calls
+    diff = got.astype(np.int32) - want.astype(np.int32)
+    assert np.abs(diff).max() <= 4, np.abs(diff).max()

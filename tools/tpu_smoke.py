@@ -206,6 +206,40 @@ def main() -> int:
     except Exception as e:
         check("wire-input DC kernel == planar kernel", False, str(e)[:200])
 
+    # 8-bit wire decode (round 4): the int16-packed cu8/cs8 wire
+    # de-interleaved in-register vs the planar kernel — proves int16
+    # VMEM refs + byte shifts lower on real Mosaic (RTL-SDR / HackRF
+    # native formats)
+    for _fmt8, _dt8, _lo8, _hi8 in (("cu8", np.uint8, 0, 256),
+                                    ("cs8", np.int8, -128, 128)):
+        try:
+            from iq_tool_tpu.formats import get_format as _getf
+            from iq_tool_tpu.ops import convert as _conv
+            from iq_tool_tpu.ops import pallas_kernels as _pk
+            import jax.numpy as _jnp
+            rng = np.random.default_rng(11)
+            n = 16384
+            raw = rng.integers(_lo8, _hi8, (8, 2 * n)).astype(_dt8)
+            xr, xi = _conv.to_planar(_jnp.asarray(raw), _fmt8, 1.0)
+            st = np.zeros((8, 4), np.float32)
+            alpha = 2 * np.pi * 10.0 / RATE_IN
+            want = _pk.dc_block_apply(xr, xi, _jnp.asarray(st), alpha)
+            wire, kind = _conv.wire_pack(_jnp.asarray(raw), _fmt8)
+            got = _pk.dc_block_apply(
+                None, None, _jnp.asarray(st), alpha, wire_i32=wire,
+                wire_norm=_getf(_fmt8).normalizer, wire_kind=kind)
+            if got is None or want is None:
+                check(f"{_fmt8} wire DC kernel == planar kernel", False,
+                      "kernel declined")
+            else:
+                md = max(float(np.abs(np.asarray(g) - np.asarray(w)).max())
+                         for g, w in zip(got, want))
+                check(f"{_fmt8} wire DC kernel == planar kernel", md == 0.0,
+                      f"max abs diff {md:.2e}")
+        except Exception as e:
+            check(f"{_fmt8} wire DC kernel == planar kernel", False,
+                  str(e)[:200])
+
     # packed-output banded epilogue: last resampler stage quantizing
     # straight to the cs16 wire vs planar + convert (bitwise)
     try:
