@@ -31,6 +31,7 @@ back to the XLA path when it does not.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +41,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
 _VMEM_BUDGET = 6 * 1024 * 1024   # per-cell working set target (bytes)
+
+# DC in-subtile prefix engine: "matmul" (HIGHEST-precision triangular
+# matmul — default) or "cumsum" (masked log-step lane cumsum on the VPU)
+# for A/B via IQ_DC_PREFIX.  Interleaved flagship A/B on real v5e
+# (tools/dc_ab.py, 2026-08-19): matmul 4498 vs cumsum 4265 Msps — the
+# MXU has headroom in this kernel while the VPU rolls are the binding
+# engine, so the ~6-pass matmul still wins.  Both are f32-accumulated
+# and sit far inside the 60 dB contract (max |diff| ~1.3e-5 on unit-
+# variance noise); the cumsum engine is kept tested as the fallback for
+# geometries where the MXU is saturated.
+_DC_PREFIX_CUMSUM = os.environ.get("IQ_DC_PREFIX", "matmul") == "cumsum"
 
 
 def _cs16_fmt():
@@ -786,13 +798,38 @@ def _dc_plane_tile(x, carry, ybuf, pidx, m, decay, af, lane0,
     # the carried y[-1] folds into the first element, so the subtile
     # carry loop below starts from ZERO (no double count)
     b = jnp.where(lane0, b + af * y_prev, b)
-    # exact (HIGHEST) matmul: the IIR feedback amplifies matmul
-    # rounding by ~1/sqrt(1 - a^2t), so the bf16x3 scheme is not
-    # accurate enough here; the triangular matmul is small anyway
-    y_loc = jax.lax.dot_general(
-        b.reshape(cb * n_t, t), m, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32).reshape(cb, n_t, t)
+    if _DC_PREFIX_CUMSUM:
+        # In-subtile decayed prefix on the VPU: y[i] = a^i * P[i] with
+        # P[i] = sum_{j<=i} a^-j b[j], so the t x t HIGHEST triangular
+        # matmul (~6 MXU passes) becomes a masked log-step lane cumsum
+        # (7 roll+select+add sweeps) plus two scalings.  Range is safe:
+        # |a^-(t-1)| = e^{(t-1)|ln a|} ~ 1.004 for the 10 Hz / 2.048 MHz
+        # pole.  Accuracy matches the exact matmul (both accumulate in
+        # f32; the carried-offset path below is untouched).
+        li = jax.lax.broadcasted_iota(jnp.int32, (cb, cell), 1) & (t - 1)
+        lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+        vpos_row = jnp.where(lane_row == 0, jnp.float32(1.0),
+                             pltpu.roll(decay, 1, axis=1))   # a^(j%t)
+        vneg_row = 1.0 / vpos_row                            # a^-(j%t)
+        vpos = jnp.broadcast_to(vpos_row.reshape(1, 1, t),
+                                (cb, n_t, t)).reshape(cb, cell)
+        vneg = jnp.broadcast_to(vneg_row.reshape(1, 1, t),
+                                (cb, n_t, t)).reshape(cb, cell)
+        p = b * vneg
+        k = 1
+        while k < t:
+            p = p + jnp.where(li >= k, pltpu.roll(p, k, axis=1),
+                              jnp.float32(0.0))
+            k *= 2
+        y_loc = (p * vpos).reshape(cb, n_t, t)
+    else:
+        # exact (HIGHEST) matmul: the IIR feedback amplifies matmul
+        # rounding by ~1/sqrt(1 - a^2t), so the bf16x3 scheme is not
+        # accurate enough here; the triangular matmul is small anyway
+        y_loc = jax.lax.dot_general(
+            b.reshape(cb * n_t, t), m, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32).reshape(cb, n_t, t)
 
     # Closed-form subtile carry: yp_j = sum_{k<=j} end_k (a^t)^(j-k) is
     # a lower-triangular matmul over the subtile END values, so the

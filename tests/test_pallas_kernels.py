@@ -125,6 +125,32 @@ def test_state_actually_feeds_first_windows(rng):
     assert d[:, :g].max() > 0          # first group affected
     assert d[:, 2 * g:].max() == 0     # later groups untouched
 
+def test_dc_prefix_engines_agree(rng, monkeypatch):
+    """The two in-subtile DC prefix engines (HIGHEST triangular matmul,
+    masked log-step lane cumsum — see _DC_PREFIX_CUMSUM) compute the same
+    recurrence; both must track the per-sample scan and each other, so
+    the non-default engine cannot rot (it is the measured A/B fallback,
+    tools/dc_ab.py)."""
+    from iq_tool_tpu.ops import dc_block as dcb
+    ch, n = 8, 4096
+    alpha = dcb.alpha_for_rate(2_048_000.0)
+    xr = rng.standard_normal((ch, n)).astype(np.float32)
+    xi = rng.standard_normal((ch, n)).astype(np.float32)
+    st4 = rng.standard_normal((ch, 4)).astype(np.float32)
+    outs = {}
+    for flag in (True, False):
+        monkeypatch.setattr(pallas_kernels, "_DC_PREFIX_CUMSUM", flag)
+        out = pallas_kernels.dc_block_apply(xr, xi, st4, alpha,
+                                            interpret=True)
+        assert out is not None
+        outs[flag] = tuple(np.asarray(v) for v in out)
+    for a, b in zip(outs[True], outs[False]):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+    ref, _, _ = dcb._apply_plane(xr, st4[:, 0], st4[:, 2], alpha)
+    np.testing.assert_allclose(outs[True][0], np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_dc_block_pallas_matches_xla(rng):
     from iq_tool_tpu.ops import dc_block as dcb
     ch, n = 8, 2048
