@@ -54,6 +54,18 @@ _VMEM_BUDGET = 6 * 1024 * 1024   # per-cell working set target (bytes)
 _DC_PREFIX_CUMSUM = os.environ.get("IQ_DC_PREFIX", "matmul") == "cumsum"
 
 
+def set_dc_prefix_engine(name: str) -> None:
+    """Switch the DC in-subtile prefix engine ("matmul" | "cumsum").
+
+    The flag is read at TRACE time (module global), so callers must
+    re-trace (rebuild the Chain / re-jit) after switching; tools/dc_ab.py
+    and the tests share this one supported switch point."""
+    global _DC_PREFIX_CUMSUM
+    if name not in ("matmul", "cumsum"):
+        raise ValueError(f"unknown DC prefix engine {name!r}")
+    _DC_PREFIX_CUMSUM = name == "cumsum"
+
+
 def _cs16_fmt():
     from iq_tool_tpu.formats import get_format
     return get_format("cs16")
@@ -112,6 +124,17 @@ def plan(stride: int, hist: int, g: int, nb: int, ch: int,
         mode = ("shift" if (stride % _LANES == 0
                             and stride // 2 < hist <= stride)
                 else "assemble")
+    if mode == "assemble" and stride % _LANES:
+        # _window_tile splits the bulk as (cb, tb*s) -> (cb, tb, s): a
+        # Mosaic vector shape cast whose minormost (lane) dim must stay
+        # 128-aligned.  Real Mosaic rejects s % 128 != 0 ("unsupported
+        # shape cast", hit by the folded CLI flagship at its default row
+        # block: stage-1 regroups to s=224) even though interpret mode
+        # accepts it — gate here so those geometries take the XLA
+        # windows path instead of dying at compile.  Chain's block
+        # sizing treats kernel coverage as a soft constraint and grows
+        # the block to restore an aligned grouping where possible.
+        return None
     halo_floor = (parts - 1) * stride if mode == "shift" else hist
     mat_rows = parts * stride if mode == "shift" else l
     w_ctx = (parts - 1) * stride if mode == "shift" else hist
@@ -798,7 +821,16 @@ def _dc_plane_tile(x, carry, ybuf, pidx, m, decay, af, lane0,
     # the carried y[-1] folds into the first element, so the subtile
     # carry loop below starts from ZERO (no double count)
     b = jnp.where(lane0, b + af * y_prev, b)
-    if _DC_PREFIX_CUMSUM:
+    # Engine guard (`a` is a Python float at trace time): the cumsum
+    # engine scales by a^-j up to a^-(t-1); fine for the 10 Hz pole
+    # (~1.004) but exponentially divergent for smaller `a` (a=0.9 ->
+    # ~6.5e5 at t=128: catastrophic cancellation).  Fall back to the
+    # exact matmul engine whenever the scale factor would exceed 2.
+    use_cumsum = (_DC_PREFIX_CUMSUM
+                  and a is not None and float(a) ** (t - 1) > 0.5)
+    if use_cumsum:
+        # lane mask below assumes t is a power of two
+        assert t & (t - 1) == 0, f"cumsum engine requires pow2 t, got {t}"
         # In-subtile decayed prefix on the VPU: y[i] = a^i * P[i] with
         # P[i] = sum_{j<=i} a^-j b[j], so the t x t HIGHEST triangular
         # matmul (~6 MXU passes) becomes a masked log-step lane cumsum

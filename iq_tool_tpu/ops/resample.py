@@ -440,6 +440,26 @@ class Resampler:
                                  stages=tuple(ratios or ()),
                                  fallback=fallback and p != q)
 
+    def kernel_coverage(self, channels: int) -> bool:
+        """Static: does every matmul stage's Pallas banded kernel engage
+        at this block geometry?  Small blocks can force a stage grouping
+        whose stride is not 128-lane aligned (e.g. n_in=16384 makes
+        stage 27/32 regroup to stride 224), which pallas_kernels.plan
+        rejects (Mosaic reshape constraint) — the XLA windows fallback
+        is correct but several times slower.  Chain's block sizing uses
+        this as a soft grow-the-block constraint on TPU."""
+        from iq_tool_tpu.ops import pallas_kernels
+        n_s = self.plan.n_in
+        for st in self.stages:
+            if isinstance(st, _MatmulStage):
+                if pallas_kernels.plan(st.stride, st.hist,
+                                       st._a.shape[1], n_s // st.stride,
+                                       channels) is None:
+                    return False
+            n_s = n_s * st.p // st.q if isinstance(st, _MatmulStage) \
+                else st.plan.n_out
+        return True
+
     def init(self, channels: int) -> tuple:
         return tuple(s.init(channels) for s in self.stages)
 

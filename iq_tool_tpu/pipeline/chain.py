@@ -33,7 +33,7 @@ import numpy as np
 from iq_tool_tpu import constants as C
 from iq_tool_tpu.formats import get_format
 from iq_tool_tpu.ops import agc as agc_ops
-from iq_tool_tpu.ops import convert, dc_block, iq_balance, nco
+from iq_tool_tpu.ops import banded, convert, dc_block, iq_balance, nco
 from iq_tool_tpu.ops.filters import StreamingFilter
 from iq_tool_tpu.ops.fir_design import FilterRequest, design_chain, max_filter_freq_hz
 from iq_tool_tpu.ops.resample import Resampler, _MatmulStage
@@ -166,6 +166,15 @@ class Chain:
                         # runs, so growing would cost 8x block memory
                         # and latency for nothing
                         soft.append(n >= 4 * adv)
+            if rs is not None and banded._on_tpu():
+                # kernel coverage as a soft grow-the-block constraint:
+                # small blocks can regroup a stage to a non-lane-aligned
+                # stride (16384 -> stage 27/32 at stride 224), which the
+                # Mosaic kernel cannot lower ("unsupported shape cast")
+                # — the XLA fallback is correct but several times
+                # slower, so grow until every stage's kernel engages
+                # (or the frame cap is reached; never a hard failure)
+                soft.append(rs.kernel_coverage(cfg.channels))
             if all(hard) and (all(soft) or tb >= C.OSFFT_FRAME_CAP):
                 break
             tb *= 2

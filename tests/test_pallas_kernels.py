@@ -35,10 +35,13 @@ def _rand_case(rng, stride, hist, g, nb, ch, complex_taps=False):
 
 
 @pytest.mark.parametrize("stride,hist,g,nb,ch", [
-    (64, 23, 57, 8, 3),     # resampler-stage-like (p<q band)
-    (32, 31, 32, 16, 2),    # FIR-like toeplitz geometry
+    # strides are all 128-multiples: real Mosaic only lowers the
+    # (cb, tb*s) -> (cb, tb, s) window cast for s % 128 == 0 (probed on
+    # silicon: s=32/64/96/224 all reject), and plan() gates accordingly
+    (128, 23, 57, 8, 3),    # resampler-stage-like (p<q band)
+    (128, 31, 32, 16, 2),   # FIR-like toeplitz geometry
     (128, 1, 96, 4, 2),     # minimal history
-    (64, 23, 57, 16, 8),    # 8-channel blocks (cb=8 path)
+    (128, 23, 57, 16, 8),   # 8-channel blocks (cb=8 path)
     (256, 54, 216, 16, 8),  # shift fast path, FIR-like
     (512, 23, 441, 8, 8),   # shift fast path, NRSC-5 stage-1 geometry
     (256, 287, 216, 16, 8),  # hist > stride: 3-part shift (NRSC-5 stage 2)
@@ -103,7 +106,7 @@ def test_banded_pack_cs16_ragged_grid(rng):
 
 
 def test_banded_pallas_complex_taps(rng):
-    stride, hist, g, nb, ch = 64, 40, 64, 8, 2
+    stride, hist, g, nb, ch = 128, 40, 64, 8, 2
     case = _rand_case(rng, stride, hist, g, nb, ch, complex_taps=True)
     ref_r, ref_i = _ref(*case, stride, hist)
     out_r, out_i = pallas_kernels.banded_apply(*case, stride, hist,
@@ -116,7 +119,7 @@ def test_banded_pallas_complex_taps(rng):
 
 def test_state_actually_feeds_first_windows(rng):
     """A nonzero carry must shape the first outputs (left-context path)."""
-    stride, hist, g, nb, ch = 32, 8, 32, 8, 1
+    stride, hist, g, nb, ch = 128, 8, 32, 8, 1
     case = list(_rand_case(rng, stride, hist, g, nb, ch))
     out1 = pallas_kernels.banded_apply(*case, stride, hist, interpret=True)
     case[0] = case[0] + 1.0   # perturb state_r
@@ -445,7 +448,7 @@ def test_banded_pack_cs16_bitwise(rng):
     identical quantization math, so the wire bytes are bitwise equal."""
     from iq_tool_tpu.ops import convert
 
-    stride, hist, g, nb, ch = 64, 23, 57, 16, 8   # resampler-stage-like
+    stride, hist, g, nb, ch = 128, 23, 57, 16, 8  # resampler-stage-like
     n = nb * stride
     xr = rng.standard_normal((ch, n)).astype(np.float32) * 0.3
     xi = rng.standard_normal((ch, n)).astype(np.float32) * 0.3
@@ -516,7 +519,7 @@ def test_banded_wire_nco_decode(rng):
     from iq_tool_tpu.ops import banded as bnd
     from iq_tool_tpu.ops import convert, nco
 
-    stride, hist, g, nb, ch = 64, 23, 57, 16, 8
+    stride, hist, g, nb, ch = 128, 23, 57, 16, 8
     n = nb * stride
     dth = np.uint32(123456789)
     pacc = rng.integers(0, 2 ** 32, (ch,), dtype=np.uint32)
@@ -722,3 +725,39 @@ def test_dc_fused_stage0_cs8_wire_parity(rng, monkeypatch):
     assert "cs8" in calls, calls
     diff = got.astype(np.int32) - want.astype(np.int32)
     assert np.abs(diff).max() <= 4, np.abs(diff).max()
+
+
+def test_assemble_unaligned_stride_falls_back():
+    """Assemble-mode window tiling reshapes the bulk as (cb, tb*s) ->
+    (cb, tb, s) — a Mosaic vector shape cast whose lane dim must stay
+    128-aligned.  Real Mosaic rejects s % 128 != 0 ("unsupported shape
+    cast"; hit by the folded CLI flagship whose small row block made
+    stage 27/32 regroup to stride 224), so plan() must decline and the
+    caller take the XLA windows path."""
+    assert pallas_kernels.plan(224, 31, 189, 63, 8) is None
+    assert pallas_kernels.plan(96, 31, 49, 64, 8) is None
+    got = pallas_kernels.plan(256, 31, 189, 64, 8)
+    assert got is not None and got[3] == "assemble"
+
+
+def test_chain_block_grows_for_kernel_coverage(monkeypatch):
+    """On TPU, Chain's block sizing treats per-stage kernel coverage as
+    a soft constraint: the 16384-frame default block regroups stage
+    27/32 to stride 224 (not lane-alignable: n/q = 441 is odd), which
+    would fall off the Pallas path — the block must grow until every
+    stage's kernel engages (row block 65536 -> stage 1 at stride 128)."""
+    from iq_tool_tpu.ops import banded
+    from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+
+    cfg = ChainConfig(input_format="cs16", output_format="cs16",
+                      input_rate=2_048_000.0, target_rate=1_488_375.0,
+                      channels=1, dc_block=True,
+                      freq_shift_pre_hz=100_000.0, target_block=16384)
+    off_tpu = Chain(cfg)
+    assert off_tpu.n_in == 16384          # no growth off-TPU
+    monkeypatch.setattr(banded, "_on_tpu", lambda: True)
+    on_tpu = Chain(cfg)
+    assert on_tpu.n_in == 65536
+    assert on_tpu.resampler.kernel_coverage(1)
+    for st in on_tpu.resampler.stages:
+        assert st.stride % 128 == 0

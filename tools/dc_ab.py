@@ -50,8 +50,9 @@ def main():
     rng = np.random.default_rng(0)
     k1, k2 = 3, 13
     variants = {}
-    for name, flag in (("cumsum", True), ("matmul", False)):
-        pallas_kernels._DC_PREFIX_CUMSUM = flag
+    for name in ("cumsum", "matmul"):
+        # trace-time switch: each Chain below re-traces under the flag
+        pallas_kernels.set_dc_prefix_engine(name)
         chain = Chain(cfg)
         raw = rng.integers(-2 ** 15, 2 ** 15,
                            (args.channels, chain.in_wire_len)).astype(np.int16)
