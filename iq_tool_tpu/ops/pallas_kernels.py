@@ -363,14 +363,35 @@ def _split_np(a: np.ndarray) -> np.ndarray:
     return np.stack([hi, lo])
 
 
+# Matmul term count, read at TRACE time (see set_mm_terms):
+#   3 (default): hi@A_hi + lo@A_hi + hi@A_lo  (~4e-5, ~88 dB)
+#   2:           hi@A_hi + lo@A_hi == x@A_hi  (x split exact; the whole
+#                error is the bf16 rounding of the TAPS — a deterministic
+#                LTI response change, measured per config in docs/PERF.md)
+#   1:           hi@A_hi                      (perf PROBE only: ~47 dB)
+_MM_TERMS = int(os.environ.get("IQ_MM_TERMS", "3"))
+
+
+def set_mm_terms(terms: int) -> None:
+    """Set the banded-matmul bf16 term count (trace-time flag; rebuild
+    chains after switching).  tools/mm_ab.py is the measured A/B."""
+    global _MM_TERMS
+    if terms not in (1, 2, 3):
+        raise ValueError(f"mm terms must be 1|2|3, got {terms}")
+    _MM_TERMS = terms
+
+
 def _mm(win, a_pair, ch, tb, g):
     """win (ch, tb, rows) f32 @ stacked bf16 pair (2, rows, g) -> f32."""
     w = win.reshape(ch * tb, win.shape[-1])
     w_hi = w.astype(jnp.bfloat16)
-    w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     a_hi, a_lo = a_pair[0], a_pair[1]
-    y = (_DOT_BF16(w_hi, a_hi) + _DOT_BF16(w_lo, a_hi)
-         + _DOT_BF16(w_hi, a_lo))
+    y = _DOT_BF16(w_hi, a_hi)
+    if _MM_TERMS >= 2:
+        w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        y = y + _DOT_BF16(w_lo, a_hi)
+    if _MM_TERMS >= 3:
+        y = y + _DOT_BF16(w_hi, a_lo)
     return y.reshape(ch, tb, g)
 
 
@@ -563,7 +584,7 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
 
 def _banded_dc_kernel(*refs, tb, s, hist, g, mode, parts, complex_taps,
                       pack, wire_norm, wire_gain, dtheta, a, t,
-                      wire_kind="cs16"):
+                      wire_kind="cs16", nco_tab=False):
     """Resampler stage 0 with the whole PRE-stage fused into its
     prologue: packed cs16 wire decode -> DC-block recurrence -> NCO mix
     -> strided-window banded matmul, one HBM read of the wire and one
@@ -593,6 +614,7 @@ def _banded_dc_kernel(*refs, tb, s, hist, g, mode, parts, complex_taps,
     m_ref = refs.pop(0)
     d_ref = refs.pop(0)
     ph_ref = refs.pop(0) if dtheta else None
+    tab_ref = refs.pop(0) if (dtheta and nco_tab) else None
     n_mats = ((2 * parts if complex_taps else parts) if mode == "shift"
               else (2 if complex_taps else 1))
     mats = [refs.pop(0) for _ in range(n_mats)]
@@ -632,7 +654,8 @@ def _banded_dc_kernel(*refs, tb, s, hist, g, mode, parts, complex_taps,
 
     if dtheta:
         base = jnp.int32(i) * jnp.int32(cell)
-        xr, xi = _nco_mix_base(ph_ref, base, cb, cell, dtheta, xr, xi)
+        xr, xi = _nco_mix_base(ph_ref, base, cb, cell, dtheta, xr, xi,
+                               tab_ref=tab_ref)
 
     # window left context: read the PREVIOUS tile's processed tail
     # before this tile overwrites it
@@ -722,11 +745,13 @@ def banded_apply_dc(state_r: jnp.ndarray, state_i: jnp.ndarray,
     a = float(1.0 - dc_alpha)
     m_t, d_vec = _dc_consts(a, t)
 
+    nco_tab = bool(nco_dtheta) and _NCO_TABLES
     kern = functools.partial(
         _banded_dc_kernel, tb=tb, s=s, hist=hist, g=g, mode=mode,
         parts=parts, complex_taps=complex_taps, pack=pack_cs16,
         wire_norm=float(wire_norm), wire_gain=float(wire_gain),
-        dtheta=nco_dtheta, a=a, t=t, wire_kind=wire_kind)
+        dtheta=nco_dtheta, a=a, t=t, wire_kind=wire_kind,
+        nco_tab=nco_tab)
 
     if mode == "shift":
         per = [_split_matrix(a_r, s, hist, parts)]
@@ -758,6 +783,10 @@ def banded_apply_dc(state_r: jnp.ndarray, state_i: jnp.ndarray,
         ph_specs = [pl.BlockSpec((cb, 1), lambda c, i: (c, 0),
                                  memory_space=pltpu.VMEM)]
         ph_args = [nco_phase]
+        if nco_tab:
+            ph_specs.append(pl.BlockSpec((2, cell), lambda c, i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            ph_args.append(jnp.asarray(_nco_lane_table(nco_dtheta, cell)))
     out_spec = pl.BlockSpec((cb, tb, g), lambda c, i: (c, i, 0),
                             memory_space=pltpu.VMEM)
     if pack_cs16:
@@ -788,7 +817,10 @@ def banded_apply_dc(state_r: jnp.ndarray, state_i: jnp.ndarray,
                         pltpu.VMEM((cb, w_ctx), jnp.float32),
                         pltpu.VMEM((cb, w_ctx), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=flops, transcendentals=(2 * n * ch if nco_dtheta else 0),
+            flops=flops,
+            transcendentals=(0 if not nco_dtheta
+                             else 2 * ch * (nb // tb) if nco_tab
+                             else 2 * n * ch),
             bytes_accessed=4 * ch * n + out_bytes),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
@@ -912,7 +944,7 @@ def _wire_decode(v, kind, norm, gain):
     return (xr * n) * g, (xi * n) * g
 
 
-def _dc_kernel(*refs, cb, cell, t, a, with_iq, dtheta,
+def _dc_kernel(*refs, cb, cell, t, a, with_iq, dtheta, nco_tab=False,
                wire_norm=0.0, wire_gain=1.0, wire_kind="cs16"):
     """Fused DC-block recurrence over one (cb, cell) tile, with optional
     I/Q-imbalance apply and NCO mix postamble (saving two full HBM round
@@ -941,6 +973,7 @@ def _dc_kernel(*refs, cb, cell, t, a, with_iq, dtheta,
     d_ref = refs.pop(0)
     iqf_ref = refs.pop(0) if with_iq else None
     ph_ref = refs.pop(0) if dtheta else None
+    tab_ref = refs.pop(0) if (dtheta and nco_tab) else None
     outr_ref, outi_ref, stout_ref, carry, ybuf_r, ybuf_i = refs
     i = pl.program_id(1)
 
@@ -977,7 +1010,8 @@ def _dc_kernel(*refs, cb, cell, t, a, with_iq, dtheta,
         phi = iqf_ref[:, 1:2]
         yr, yi = yr * (1.0 + gf), yi + phi * yr
     if dtheta:
-        yr, yi = _nco_mix(ph_ref, i, cb, cell, dtheta, yr, yi)
+        yr, yi = _nco_mix(ph_ref, i, cb, cell, dtheta, yr, yi,
+                          tab_ref=tab_ref)
     outr_ref[...] = yr
     outi_ref[...] = yi
 
@@ -1043,9 +1077,11 @@ def dc_block_apply(xr: jnp.ndarray, xi: jnp.ndarray, state: jnp.ndarray,
 
     with_iq = iq_factors is not None
     dtheta = int(dtheta) & 0xFFFFFFFF
+    nco_tab = bool(dtheta) and _NCO_TABLES
     grid = (ch // cb, n // cell)
     kern = functools.partial(_dc_kernel, cb=cb, cell=cell, t=t, a=a,
                              with_iq=with_iq, dtheta=dtheta,
+                             nco_tab=nco_tab,
                              wire_norm=(float(wire_norm)
                                         if wire_i32 is not None else 0.0),
                              wire_gain=float(wire_gain),
@@ -1070,6 +1106,10 @@ def dc_block_apply(xr: jnp.ndarray, xi: jnp.ndarray, state: jnp.ndarray,
         extra_in.append(phase_acc)
         extra_specs.append(pl.BlockSpec((cb, 1), lambda c, i: (c, 0),
                                         memory_space=pltpu.VMEM))
+        if nco_tab:
+            extra_in.append(jnp.asarray(_nco_lane_table(dtheta, cell)))
+            extra_specs.append(pl.BlockSpec((2, cell), lambda c, i: (0, 0),
+                                            memory_space=pltpu.VMEM))
     yr, yi, st = pl.pallas_call(
         kern,
         grid=grid,
@@ -1283,7 +1323,35 @@ def osfft_apply(ext_r: jnp.ndarray, ext_i: jnp.ndarray, h: tuple,
 
 # --------------------------- fused post-stage kernel ---------------------------
 
-def _nco_mix_base(ph_ref, base, cb, width, dtheta, yr, yi):
+# Host-precomputed NCO lane tables, read at TRACE time: the per-lane
+# angle b = lane * dtheta is STATIC (dtheta and the lane iota are
+# compile-time), so its cos/sin rows can be computed on the host and
+# passed as one (2, width) VMEM constant — the in-kernel transcendental
+# count drops from 2*(width + cb) to 2*cb per tile.  The extra HBM read
+# is 8*width bytes per channel-block per tile (~1 B/sample at cb=8),
+# a fraction of the ~30 B/sample wire budget.
+_NCO_TABLES = os.environ.get("IQ_NCO_TABLES", "1") == "1"
+
+
+def set_nco_tables(enabled: bool) -> None:
+    """Trace-time switch for the host-precomputed NCO lane tables
+    (rebuild chains after switching); tools/mm_ab.py A/Bs it."""
+    global _NCO_TABLES
+    _NCO_TABLES = bool(enabled)
+
+
+def _nco_lane_table(dtheta: int, width: int) -> np.ndarray:
+    """(2, width) f32 [cos; sin] of the wrapped per-lane NCO angle,
+    matching the in-kernel int32 wrap-to-angle map (see _nco_mix_base);
+    cos/sin evaluated in f64 (strictly tighter than the in-kernel f32)."""
+    dth = np.int64(dtheta) - (1 << 32) if dtheta >= (1 << 31) else np.int64(dtheta)
+    wrapped = ((np.arange(width, dtype=np.int64) * dth) & 0xFFFFFFFF)
+    signed = np.where(wrapped >= (1 << 31), wrapped - (1 << 32), wrapped)
+    ang = signed.astype(np.float32).astype(np.float64) * (2.0 * np.pi / 4294967296.0)
+    return np.stack([np.cos(ang), np.sin(ang)]).astype(np.float32)
+
+
+def _nco_mix_base(ph_ref, base, cb, width, dtheta, yr, yi, tab_ref=None):
     """In-kernel NCO mix at global sample index base + lane (shared by
     _dc_kernel, _post_kernel, and the banded wire decode): wrapping int32
     arithmetic == uint32 mod 2^32, and the SIGNED value maps to the same
@@ -1301,9 +1369,13 @@ def _nco_mix_base(ph_ref, base, cb, width, dtheta, yr, yi):
     dth_i32 = jnp.int32(np.int64(dtheta) - (1 << 32)
                         if dtheta >= (1 << 31) else dtheta)
     scale = jnp.float32(2.0 * np.pi / 4294967296.0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
-    b_ang = (lane * dth_i32).astype(jnp.float32) * scale
-    cos_b, sin_b = jnp.cos(b_ang), jnp.sin(b_ang)          # (1, width)
+    if tab_ref is not None:
+        cos_b = tab_ref[0:1, :]                            # (1, width)
+        sin_b = tab_ref[1:2, :]
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+        b_ang = (lane * dth_i32).astype(jnp.float32) * scale
+        cos_b, sin_b = jnp.cos(b_ang), jnp.sin(b_ang)      # (1, width)
     ph0 = pltpu.bitcast(ph_ref[...], jnp.int32)            # (cb, 1)
     a_ang = (ph0 + base * dth_i32).astype(jnp.float32) * scale
     cos_a, sin_a = jnp.cos(a_ang), jnp.sin(a_ang)          # (cb, 1)
@@ -1312,9 +1384,9 @@ def _nco_mix_base(ph_ref, base, cb, width, dtheta, yr, yi):
     return yr * c_ - yi * s_, yr * s_ + yi * c_
 
 
-def _nco_mix(ph_ref, block_idx, cb, cell, dtheta, yr, yi):
+def _nco_mix(ph_ref, block_idx, cb, cell, dtheta, yr, yi, tab_ref=None):
     return _nco_mix_base(ph_ref, jnp.int32(block_idx) * jnp.int32(cell),
-                         cb, cell, dtheta, yr, yi)
+                         cb, cell, dtheta, yr, yi, tab_ref=tab_ref)
 
 
 def _post_kernel(xr_ref, xi_ref, g_ref, *rest, cb, cell, seg_m, dtheta,

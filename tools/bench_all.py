@@ -69,18 +69,15 @@ def measure(chain_cfg, channels: int, reps: int = 3,
     return channels * chain.n_in / per / 1e6
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--channels", type=int, default=128)
-    ap.add_argument("--block", type=int, default=1 << 18)
-    opts = ap.parse_args()
-
+def make_configs(channels: int, block: int) -> dict:
+    """The five BASELINE.json measurement configs (shared with
+    tools/mm_ab.py so the A/B and the matrix measure the same thing)."""
     from iq_tool_tpu.ops.fir_design import FilterRequest
     from iq_tool_tpu.pipeline.chain import ChainConfig
 
     base = dict(input_rate=IN_RATE, target_rate=OUT_RATE,
-                channels=opts.channels, target_block=opts.block)
-    configs = {
+                channels=channels, target_block=block)
+    return {
         "1: raw cs16 -> resample -> cs16": ChainConfig(
             input_format="cs16", output_format="cs16", **base),
         "2: wav16 -> shift +250k -> resample -> lowpass": ChainConfig(
@@ -102,8 +99,17 @@ def main() -> int:
             freq_shift_pre_hz=100e3,
             filters=(FilterRequest("lowpass", 400e3),),
             agc_profile="local",
-            **{**base, "channels": max(64, opts.channels)}),
+            **{**base, "channels": max(64, channels)}),
     }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--channels", type=int, default=128)
+    ap.add_argument("--block", type=int, default=1 << 18)
+    opts = ap.parse_args()
+
+    configs = make_configs(opts.channels, opts.block)
     for name, cfg in configs.items():
         try:
             msps = measure(cfg, cfg.channels)
