@@ -199,27 +199,31 @@ def main():
         pass
 
     value = measure_tpu()
-    # regression canary for the hard kernels (VERDICT r3 #8): config #4
-    # exercises the DFT overlap-save engine + both NCOs + IQ + AGC; a
-    # regression there would be invisible in the flagship number alone
+    # full per-round regression guard (VERDICT r4 #4): ALL FIVE
+    # BASELINE.json configs, not a 2-of-5 sample — a silicon regression
+    # in the composed-FIR, cu8-wire/overlap-save, or DP-batch paths must
+    # be visible in the driver artifact
     extra = {}
     if not os.environ.get("IQ_BENCH_FLAGSHIP_ONLY"):
         try:
-            from iq_tool_tpu.ops.fir_design import FilterRequest
-            from iq_tool_tpu.pipeline.chain import ChainConfig
+            from tools.bench_all import make_configs
             channels = int(os.environ.get("IQ_BENCH_CHANNELS", 128))
-            cfg4 = ChainConfig(
-                input_format="cs16", output_format="cs16",
-                input_rate=IN_RATE, target_rate=OUT_RATE,
-                channels=channels, dc_block=True, iq_correction=True,
-                freq_shift_pre_hz=100e3, freq_shift_post_hz=-50e3,
-                filters=[FilterRequest("stop-range", 0.0, 10e3)],
-                agc_profile="local",
-                target_block=int(os.environ.get("IQ_BENCH_BLOCK", 1 << 18)))
-            extra["configs"] = {
-                "1_flagship": round(value, 2),
-                "4_full_notch": round(measure_tpu(cfg=cfg4), 2),
-            }
+            block = int(os.environ.get("IQ_BENCH_BLOCK", 1 << 18))
+            short = {"1: raw cs16 -> resample -> cs16": "1_raw_resample",
+                     "2: wav16 -> shift +250k -> resample -> lowpass":
+                         "2_shift_lowpass",
+                     "3: cu8 -> dc -> fft band-pass -> resample -> cs16":
+                         "3_cu8_fft_bandpass",
+                     "4: full chain (shift+iq+notch+resample+shift+agc)":
+                         "4_full_notch",
+                     "5: 64-channel full chain (DP batch)": "5_dp_batch"}
+            cfgs = {"flagship": round(value, 2)}
+            for name, cfg in make_configs(channels, block).items():
+                try:
+                    cfgs[short[name]] = round(measure_tpu(cfg=cfg), 2)
+                except Exception as e:    # keep the matrix going
+                    cfgs[short[name]] = f"error: {str(e)[:120]}"
+            extra["configs"] = cfgs
         except Exception as e:
             extra["configs"] = {"error": str(e)[:200]}
     print(json.dumps({

@@ -20,12 +20,21 @@ assigned, SURVEY.md section 2c quirk); here it is a real feature.
 from __future__ import annotations
 
 import dataclasses
+import os
 import struct
 
 import numpy as np
 
 from iq_tool_tpu.formats import FORMATS, get_format
 from iq_tool_tpu.utils.ringbuffer import RingBuffer
+
+# Fault injection (soak/test only): corrupt the MAGIC of every K-th
+# interleaved packet written, driving the reader's magic-scan resync
+# exactly as a torn byte stream would (the reference validates this
+# path by hand, sdr_packet_serializer.c:111-204; tools/endurance.py
+# --iqpk-soak exercises it end-to-end at the CLI level).  0 = off.
+_FAULT_EVERY = int(os.environ.get("IQTOOL_FAULT_IQPK_EVERY", "0") or 0)
+_fault_written = 0
 
 MAGIC = b"IQPK"
 HEADER = struct.Struct("<4sIBB")
@@ -65,6 +74,11 @@ def write_interleaved_chunks(ring: RingBuffer, data: bytes, fmt_name: str) -> in
         n = min(MAX_PACKET_SAMPLES, total - off)
         chunk = data[off * bpf:(off + n) * bpf]
         hdr = HEADER.pack(MAGIC, n, FLAG_INTERLEAVED, fid)
+        if _FAULT_EVERY:
+            global _fault_written
+            _fault_written += 1
+            if _fault_written % _FAULT_EVERY == 0:
+                hdr = b"XQPK" + hdr[4:]   # torn header: reader must resync
         if not ring.write_all(hdr + chunk):
             dropped += total - off
             break

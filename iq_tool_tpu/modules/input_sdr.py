@@ -259,6 +259,11 @@ class _SdrInputBase(InputModule):
         while True:
             p = reader.read_packet()
             if p is None:
+                if reader.resync_count:
+                    from iq_tool_tpu.utils.log import get_logger
+                    get_logger(self.name).warning(
+                        "IQPK stream: %d resync byte-scan(s) recovered "
+                        "corrupted framing", reader.resync_count)
                 if buf:
                     yield Block(payload=bytes(buf), discontinuity=next_disc)
                 return

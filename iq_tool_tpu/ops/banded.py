@@ -164,16 +164,20 @@ def apply_planar_packed(state_r: jnp.ndarray, state_i: jnp.ndarray,
                         xr: jnp.ndarray, xi: jnp.ndarray,
                         a_r: np.ndarray, a_i: np.ndarray | None,
                         stride: int, hist: int,
-                        interpret: bool = False):
-    """Banded map whose output IS the quantized interleaved cs16 wire
-    (int32, I low half / Q high): the kernel epilogue quantizes in VMEM
-    so the separate convert pass never touches HBM.  Returns the (C,
-    (n//stride)*G) int32 wire, or None when the kernel path is
-    unavailable (caller runs apply_planar + convert.from_planar)."""
+                        interpret: bool = False, out_fmt: str = "cs16"):
+    """Banded map whose output IS the quantized interleaved wire
+    (int32 for 16-bit wires / int16 for 8-bit, I low code / Q high):
+    the kernel epilogue quantizes in VMEM so the separate convert pass
+    never touches HBM.  Returns the (C, (n//stride)*G) packed wire, or
+    None when the kernel path is unavailable or the format has no
+    packed epilogue (caller runs apply_planar + convert.from_planar)."""
     ch, n = xr.shape
+    from iq_tool_tpu.ops import pallas_kernels
+    if not pallas_kernels.packable_out(out_fmt):
+        return None
     if not can_pack(stride, hist, a_r.shape[1], n, ch, interpret):
         return None
-    from iq_tool_tpu.ops import pallas_kernels
     return pallas_kernels.banded_apply(state_r, state_i, xr, xi,
                                        a_r, a_i, stride, hist,
-                                       interpret=interpret, pack_cs16=True)
+                                       interpret=interpret,
+                                       pack_fmt=out_fmt)

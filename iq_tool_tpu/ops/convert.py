@@ -86,19 +86,39 @@ def wire_pack(raw: jnp.ndarray, fmt: SampleFormat | str):
     """(packed wire array, kind) for kernels that decode in-register, or
     None when the format has no one-element-per-frame packing.
 
-    kind "cs16": (C, N) int32, I in the low 16 bits, Q in the high;
+    kind "cs16": (C, N) int32, I in the low 16 bits, Q in the high —
+    also used for sc16q11 (identical signed int16 wire; only the
+    normalizer differs, and that flows separately as wire_norm:
+    sample_convert.c:135-202 /2048 vs /32768);
+    kind "cu16": (C, N) int32 from the unsigned 16-bit wire;
     kind "cu8"/"cs8": (C, N) int16, I in the low byte, Q in the high
-    (little-endian byte order of the interleaved wire).  The 8-bit kinds
-    cover the RTL-SDR (cu8) and HackRF (cs8) native formats."""
+    (little-endian byte order of the interleaved wire).  The native SDR
+    formats all pack: RTL-SDR cu8, HackRF cs8, BladeRF sc16q11,
+    SDRplay cs16."""
     fmt = get_format(fmt) if isinstance(fmt, str) else fmt
     c = raw.shape[0]
-    if fmt.name == "cs16" and fmt.wire_dtype == np.int16:
+    if fmt.wire_dtype == np.int16 and fmt.signed and fmt.items_per_frame == 2:
         return jax.lax.bitcast_convert_type(
             raw.reshape(c, raw.shape[-1] // 2, 2), jnp.int32), "cs16"
+    if fmt.name == "cu16":
+        return jax.lax.bitcast_convert_type(
+            raw.reshape(c, raw.shape[-1] // 2, 2), jnp.int32), "cu16"
     if fmt.name in ("cu8", "cs8"):
         return jax.lax.bitcast_convert_type(
             raw.reshape(c, raw.shape[-1] // 2, 2), jnp.int16), fmt.name
     return None
+
+
+def packed_to_wire(packed: jnp.ndarray, fmt: SampleFormat | str):
+    """Bitcast a kernel-packed (C, N) output (pallas_kernels._pack_wire:
+    int32 for 16-bit wires, int16 for 8-bit, I in the low code) back to
+    the (C, N*items) wire array in the format's wire dtype — the exact
+    inverse of wire_pack's layout, so the bytes written are identical
+    to from_planar's."""
+    fmt = get_format(fmt) if isinstance(fmt, str) else fmt
+    c = packed.shape[0]
+    out = jax.lax.bitcast_convert_type(packed, jnp.dtype(fmt.wire_dtype))
+    return out.reshape(c, -1)
 
 
 def decode_packed(w: jnp.ndarray, kind: str, norm: float, gain: float):
@@ -119,6 +139,10 @@ def decode_packed(w: jnp.ndarray, kind: str, norm: float, gain: float):
         i_val = (v << 24) >> 24
         q_val = (v << 16) >> 24
         off = 0.0
+    elif kind == "cu16":
+        i_val = v & 0xFFFF
+        q_val = (v >> 16) & 0xFFFF
+        off = 32767.5
     else:
         raise ValueError(f"unknown packed wire kind {kind!r}")
     xr = i_val.astype(jnp.float32)

@@ -168,12 +168,12 @@ class StreamingFilter:
 
     def apply_planar_packed(self, xr: jnp.ndarray, xi: jnp.ndarray,
                             state_r: jnp.ndarray, state_i: jnp.ndarray,
-                            interpret: bool = False):
-        """Banded FIR whose output IS the quantized interleaved cs16
-        wire: the kernel epilogue quantizes in VMEM, so when this filter
+                            interpret: bool = False, out_fmt: str = "cs16"):
+        """Banded FIR whose output IS the quantized interleaved wire:
+        the kernel epilogue quantizes in VMEM, so when this filter
         is the chain's LAST op the separate convert pass never touches
         HBM (same trick as the resampler's last stage).  Returns
-        (wire_i32, new_r, new_i) or None when the kernel path is
+        (packed wire, new_r, new_i) or None when the kernel path is
         unavailable — the caller then runs apply_planar + convert
         (filter.c:449-462 executes in-place and the conversion is a
         separate pass there too; this removes it entirely)."""
@@ -186,7 +186,8 @@ class StreamingFilter:
         tr, ti = self._toeplitz_for(stride)
         wire = banded.apply_planar_packed(
             state_r[:, hist - (k - 1):], state_i[:, hist - (k - 1):],
-            xr, xi, tr, ti, stride, k - 1, interpret=interpret)
+            xr, xi, tr, ti, stride, k - 1, interpret=interpret,
+            out_fmt=out_fmt)
         if wire is None:
             return None
         return (wire, banded.new_tail(state_r, xr, hist),

@@ -204,7 +204,7 @@ def _banded_inputs(refs, n_mats, wire_norm, wire_gain,
     Wire layout:   (w_b, w_h, st_r, st_i, [phase], mats..., outs...) —
     the packed wire (int32 cs16 or int16 cu8/cs8, convert.wire_pack) is
     de-interleaved and normalized in-register, so the separate
-    conversion pass never touches HBM (the input twin of the pack_cs16
+    conversion pass never touches HBM (the input twin of the pack_fmt
     output epilogue).  With ``dtheta`` the decoded samples are also
     NCO-mixed at their global indices (bulk at i*cell, halo at
     i*cell - s2; tile 0's halo is unused garbage and the carried state
@@ -240,28 +240,68 @@ def _banded_inputs(refs, n_mats, wire_norm, wire_gain,
     return plane_r, plane_i, mats, refs
 
 
-def _quant_cs16(v):
-    """convert._round_half_away + clamp with the cs16 format constants —
-    the in-kernel twin of convert.from_planar's signed path."""
-    fmt = _cs16_fmt()
-    v = v * jnp.float32(fmt.scale)
-    v = jnp.trunc(jnp.where(v > 0, v + 0.5, v - 0.5))
-    v = jnp.clip(v, jnp.float32(fmt.min_code), jnp.float32(fmt.max_code))
+# Formats the kernels can quantize + pack in their epilogue: two codes
+# per element, element dtype sized so the host bitcast recovers the
+# little-endian interleaved wire (convert.packed_to_wire).  32-bit wires
+# (cs32/cu32/cf32) would need int64 elements — not packable.
+_PACK_INFO = {  # fmt name -> (element dtype, bits per code)
+    "cs16": (jnp.int32, 16), "sc16q11": (jnp.int32, 16),
+    "cu16": (jnp.int32, 16), "cu8": (jnp.int16, 8), "cs8": (jnp.int16, 8),
+}
+
+
+def pack_wire_dtype(fmt_name: str):
+    """Element dtype of the kernel-packed wire for fmt (KeyError if the
+    format has no packed epilogue — gate with `fmt_name in _PACK_INFO`
+    via packable_out)."""
+    return _PACK_INFO[fmt_name][0]
+
+
+def packable_out(fmt_name: str) -> bool:
+    return fmt_name in _PACK_INFO
+
+
+def _quant_wire(v, fmt):
+    """convert.from_planar's quantizer with fmt's constants — the
+    in-kernel twin (signed: scale, round-half-away, clamp
+    [min_code, max_code]; unsigned: scale + offset_out, clamp [0, max],
+    floor(+0.5)).  All pack-able formats' codes are f32-exact."""
+    if fmt.signed:
+        v = v * jnp.float32(fmt.scale)
+        v = jnp.trunc(jnp.where(v > 0, v + 0.5, v - 0.5))
+        v = jnp.clip(v, jnp.float32(fmt.min_code), jnp.float32(fmt.max_code))
+    else:
+        v = v * jnp.float32(fmt.scale) + jnp.float32(fmt.offset_out)
+        v = jnp.clip(v, jnp.float32(0.0), jnp.float32(fmt.max_code))
+        v = jnp.floor(v + 0.5)
     return v.astype(jnp.int32)
 
 
-def _pack_cs16(yr, yi):
-    """Quantize + interleave: int32 with I in the low 16 bits, Q high —
-    bit-identical to the little-endian interleaved cs16 wire."""
-    return (_quant_cs16(yr) & jnp.int32(0xFFFF)) | (_quant_cs16(yi) << 16)
+def _pack_wire(yr, yi, fmt_name):
+    """Quantize + interleave into one element per frame: I in the low
+    code, Q in the high — bit-identical to the little-endian interleaved
+    wire after the host bitcast.  16-bit wires pack into int32; 8-bit
+    wires into int16 (value-corrected before the narrowing cast so the
+    int32->int16 conversion is exact, not bit-truncation-dependent)."""
+    from iq_tool_tpu.formats import get_format
+    fmt = get_format(fmt_name)
+    dt, bits = _PACK_INFO[fmt_name]
+    qi, qq = _quant_wire(yr, fmt), _quant_wire(yi, fmt)
+    mask = jnp.int32((1 << bits) - 1)
+    packed = (qi & mask) | ((qq & mask) << bits)
+    if dt == jnp.int32:
+        return packed
+    # map [0, 65535] onto int16's value range before the cast
+    packed = packed - ((packed >> 15) << 16)
+    return packed.astype(dt)
 
 
 def _banded_write(outs, yr, yi, pack):
-    """Kernel epilogue: planar f32 outputs, or ONE packed cs16 wire ref
-    (the format conversion then never touches HBM — the last resampler
-    stage writes the output bytes directly)."""
+    """Kernel epilogue: planar f32 outputs, or ONE packed wire ref
+    (``pack`` = format name: the format conversion then never touches
+    HBM — the last resampler stage writes the output bytes directly)."""
     if pack:
-        outs[0][...] = _pack_cs16(yr, yi)
+        outs[0][...] = _pack_wire(yr, yi, pack)
     else:
         outs[0][...] = yr
         outs[1][...] = yi
@@ -349,10 +389,21 @@ def _window_tile(left, bulk, tb: int, s: int, hist: int):
 # O(2^-16)); measured error ~4e-5 (~88 dB), comfortably above the 60 dB
 # budget, at 3 single-pass matmuls.  Banded matrices are pre-split on the
 # host and passed as one stacked (2, rows, G) bf16 ref per logical matrix.
-_DOT_BF16 = functools.partial(jax.lax.dot_general,
-                              dimension_numbers=(((1,), (0,)), ((), ())),
-                              precision=jax.lax.Precision.DEFAULT,
-                              preferred_element_type=jnp.float32)
+def _DOT_BF16(a, b):
+    """bf16-operand dot with f32 accumulation on every backend.
+
+    On TPU, DEFAULT precision with bf16 operands IS the single-pass MXU
+    with f32 accumulate — the fast path.  On CPU (interpret-mode tests),
+    DEFAULT instead accumulates in bf16 (~2e-3: the split-correction
+    terms vanish below the accumulator's rounding — found by the round-5
+    fold/shard fuzz at 55 dB), so force HIGHEST there: operands stay
+    bf16-rounded, accumulation is exact f32 — bit-faithful to what the
+    MXU does.  Backend is resolved at TRACE time."""
+    prec = (jax.lax.Precision.HIGHEST if jax.default_backend() == "cpu"
+            else jax.lax.Precision.DEFAULT)
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               precision=prec,
+                               preferred_element_type=jnp.float32)
 
 
 def _split_np(a: np.ndarray) -> np.ndarray:
@@ -431,7 +482,7 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
                  xr: jnp.ndarray, xi: jnp.ndarray,
                  a_r: np.ndarray, a_i: np.ndarray | None,
                  stride: int, hist: int,
-                 interpret: bool = False, pack_cs16: bool = False,
+                 interpret: bool = False, pack_fmt=None,
                  wire_i32: jnp.ndarray | None = None,
                  wire_norm: float = 0.0, wire_gain: float = 1.0,
                  nco_dtheta: int = 0, nco_phase: jnp.ndarray | None = None,
@@ -442,9 +493,10 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
     x*: (C, n) planes, n a multiple of ``stride``;
     a_r/a_i: (stride + hist, G) banded matrix (numpy, embedded constant).
     Returns (yr, yi): (C, (n // stride) * G) f32 — or, with
-    ``pack_cs16``, ONE (C, (n // stride) * G) int32 array carrying the
-    quantized interleaved cs16 wire (I low half, Q high): the final
-    stage then writes the output bytes itself and the separate
+    ``pack_fmt`` (an output format name from _PACK_INFO; True is
+    accepted as "cs16"), ONE (C, (n // stride) * G) int32/int16 array
+    carrying the quantized interleaved wire (I low code, Q high): the
+    final stage then writes the output bytes itself and the separate
     conversion pass never touches HBM.
 
     With ``wire_i32`` (+ wire_norm/wire_gain), the INPUT is the packed
@@ -462,6 +514,7 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
         raise ValueError("wire_i32 requires wire_norm (the format "
                          "normalizer) — a zero norm would mis-parse the "
                          "kernel's positional refs")
+    pack_fmt = "cs16" if pack_fmt is True else (pack_fmt or None)
     nco_dtheta = int(nco_dtheta) & 0xFFFFFFFF
     if nco_dtheta and (wire_i32 is None or nco_phase is None):
         raise ValueError("nco_dtheta needs wire mode and nco_phase")
@@ -504,11 +557,11 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
             per_mat.append(_split_matrix(a_i, s, hist, parts))
             kern = functools.partial(_shift_kernel_complex, tb=tb, s=s,
                                      hist=hist, g=g, parts=parts,
-                                     pack=pack_cs16, wire=wire_args)
+                                     pack=pack_fmt, wire=wire_args)
         else:
             kern = functools.partial(_shift_kernel, tb=tb, s=s,
                                      hist=hist, g=g, parts=parts,
-                                     pack=pack_cs16, wire=wire_args)
+                                     pack=pack_fmt, wire=wire_args)
         mats = [jnp.asarray(_split_np(m)) for chunk in per_mat for m in chunk]
         mat_specs = [pl.BlockSpec((2, s, g), lambda c, i: (0, 0, 0),
                                   memory_space=pltpu.VMEM)
@@ -517,12 +570,12 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
         mats = [jnp.asarray(_split_np(a_r))]
         if complex_taps:
             kern = functools.partial(_banded_kernel_complex, tb=tb, s=s,
-                                     hist=hist, g=g, pack=pack_cs16,
+                                     hist=hist, g=g, pack=pack_fmt,
                                      wire=wire_args)
             mats.append(jnp.asarray(_split_np(a_i)))
         else:
             kern = functools.partial(_banded_kernel, tb=tb, s=s,
-                                     hist=hist, g=g, pack=pack_cs16,
+                                     hist=hist, g=g, pack=pack_fmt,
                                      wire=wire_args)
         mat_specs = [pl.BlockSpec((2, l, g), lambda c, i: (0, 0, 0),
                                   memory_space=pltpu.VMEM)
@@ -536,10 +589,11 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
     else:
         n_mm, depth = (4 if complex_taps else 2), l
     flops = 2 * n_mm * nb * depth * g * ch
-    if pack_cs16:
+    if pack_fmt:
+        pdt = pack_wire_dtype(pack_fmt)
         out_specs = out_spec
-        out_shape = jax.ShapeDtypeStruct((ch, nb, g), jnp.int32)
-        out_bytes = ch * nb * g * 4
+        out_shape = jax.ShapeDtypeStruct((ch, nb, g), pdt)
+        out_bytes = ch * nb * g * np.dtype(pdt).itemsize
     else:
         out_specs = (out_spec, out_spec)
         out_shape = (jax.ShapeDtypeStruct((ch, nb, g), jnp.float32),
@@ -574,7 +628,7 @@ def banded_apply(state_r: jnp.ndarray, state_i: jnp.ndarray,
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(*args)
-    if pack_cs16:
+    if pack_fmt:
         return res.reshape(ch, nb * g)
     yr, yi = res
     return yr.reshape(ch, nb * g), yi.reshape(ch, nb * g)
@@ -712,7 +766,7 @@ def banded_apply_dc(state_r: jnp.ndarray, state_i: jnp.ndarray,
                     wire_gain: float = 1.0,
                     nco_dtheta: int = 0,
                     nco_phase: jnp.ndarray | None = None,
-                    pack_cs16: bool = False,
+                    pack_fmt=None,
                     interpret: bool = False,
                     wire_kind: str = "cs16"):
     """Stage-0 banded map with the fused wire-decode + DC + NCO prologue
@@ -723,6 +777,7 @@ def banded_apply_dc(state_r: jnp.ndarray, state_i: jnp.ndarray,
     plan(..., dc=True); raises on unsupported geometry."""
     if not wire_norm:
         raise ValueError("banded_apply_dc requires wire input")
+    pack_fmt = "cs16" if pack_fmt is True else (pack_fmt or None)
     nco_dtheta = int(nco_dtheta) & 0xFFFFFFFF
     if nco_dtheta and nco_phase is None:
         raise ValueError("nco_dtheta needs nco_phase")
@@ -748,7 +803,7 @@ def banded_apply_dc(state_r: jnp.ndarray, state_i: jnp.ndarray,
     nco_tab = bool(nco_dtheta) and _NCO_TABLES
     kern = functools.partial(
         _banded_dc_kernel, tb=tb, s=s, hist=hist, g=g, mode=mode,
-        parts=parts, complex_taps=complex_taps, pack=pack_cs16,
+        parts=parts, complex_taps=complex_taps, pack=pack_fmt,
         wire_norm=float(wire_norm), wire_gain=float(wire_gain),
         dtheta=nco_dtheta, a=a, t=t, wire_kind=wire_kind,
         nco_tab=nco_tab)
@@ -784,14 +839,15 @@ def banded_apply_dc(state_r: jnp.ndarray, state_i: jnp.ndarray,
                                  memory_space=pltpu.VMEM)]
         ph_args = [nco_phase]
         if nco_tab:
-            ph_specs.append(pl.BlockSpec((2, cell), lambda c, i: (0, 0),
+            ph_specs.append(pl.BlockSpec((8, cell), lambda c, i: (0, 0),
                                          memory_space=pltpu.VMEM))
             ph_args.append(jnp.asarray(_nco_lane_table(nco_dtheta, cell)))
     out_spec = pl.BlockSpec((cb, tb, g), lambda c, i: (c, i, 0),
                             memory_space=pltpu.VMEM)
-    if pack_cs16:
+    if pack_fmt:
+        pdt = pack_wire_dtype(pack_fmt)
         y_specs = [out_spec]
-        y_shapes = [jax.ShapeDtypeStruct((ch, nb, g), jnp.int32)]
+        y_shapes = [jax.ShapeDtypeStruct((ch, nb, g), pdt)]
     else:
         y_specs = [out_spec, out_spec]
         y_shapes = [jax.ShapeDtypeStruct((ch, nb, g), jnp.float32),
@@ -800,7 +856,8 @@ def banded_apply_dc(state_r: jnp.ndarray, state_i: jnp.ndarray,
             else (4 if complex_taps else 2))
     depth = s if mode == "shift" else l
     flops = 2 * n_mm * nb * depth * g * ch + 2 * 2 * n * t * ch
-    out_bytes = (1 if pack_cs16 else 2) * ch * nb * g * 4
+    out_bytes = (ch * nb * g * np.dtype(pdt).itemsize if pack_fmt
+                 else 2 * ch * nb * g * 4)
     res = pl.pallas_call(
         kern,
         grid=grid,
@@ -827,7 +884,7 @@ def banded_apply_dc(state_r: jnp.ndarray, state_i: jnp.ndarray,
         interpret=interpret,
     )(wire_i32, state_r, state_i, dc_state, jnp.asarray(m_t),
       jnp.asarray(d_vec), *ph_args, *mats)
-    if pack_cs16:
+    if pack_fmt:
         wire, tr, ti, st4 = res
         return wire.reshape(ch, nb * g), tr, ti, st4
     yr, yi, tr, ti, st4 = res
@@ -932,6 +989,8 @@ def _wire_decode(v, kind, norm, gain):
         i_val, q_val, off = vi & 0xFF, (vi >> 8) & 0xFF, 127.5
     elif kind == "cs8":
         i_val, q_val, off = (vi << 24) >> 24, (vi << 16) >> 24, 0.0
+    elif kind == "cu16":
+        i_val, q_val, off = vi & 0xFFFF, (vi >> 16) & 0xFFFF, 32767.5
     else:
         raise ValueError(f"unknown packed wire kind {kind!r}")
     xr = i_val.astype(jnp.float32)
@@ -1108,7 +1167,7 @@ def dc_block_apply(xr: jnp.ndarray, xi: jnp.ndarray, state: jnp.ndarray,
                                         memory_space=pltpu.VMEM))
         if nco_tab:
             extra_in.append(jnp.asarray(_nco_lane_table(dtheta, cell)))
-            extra_specs.append(pl.BlockSpec((2, cell), lambda c, i: (0, 0),
+            extra_specs.append(pl.BlockSpec((8, cell), lambda c, i: (0, 0),
                                             memory_space=pltpu.VMEM))
     yr, yi, st = pl.pallas_call(
         kern,
@@ -1326,7 +1385,7 @@ def osfft_apply(ext_r: jnp.ndarray, ext_i: jnp.ndarray, h: tuple,
 # Host-precomputed NCO lane tables, read at TRACE time: the per-lane
 # angle b = lane * dtheta is STATIC (dtheta and the lane iota are
 # compile-time), so its cos/sin rows can be computed on the host and
-# passed as one (2, width) VMEM constant — the in-kernel transcendental
+# passed as one padded (8, width) VMEM constant — the in-kernel transcendental
 # count drops from 2*(width + cb) to 2*cb per tile.  The extra HBM read
 # is 8*width bytes per channel-block per tile (~1 B/sample at cb=8),
 # a fraction of the ~30 B/sample wire budget.
@@ -1341,14 +1400,22 @@ def set_nco_tables(enabled: bool) -> None:
 
 
 def _nco_lane_table(dtheta: int, width: int) -> np.ndarray:
-    """(2, width) f32 [cos; sin] of the wrapped per-lane NCO angle,
-    matching the in-kernel int32 wrap-to-angle map (see _nco_mix_base);
-    cos/sin evaluated in f64 (strictly tighter than the in-kernel f32)."""
+    """(8, width) f32 with [cos; sin] in rows 0-1 (rows 2-7 zero pad) of
+    the wrapped per-lane NCO angle, matching the in-kernel int32
+    wrap-to-angle map (see _nco_mix_base); cos/sin evaluated in f64
+    (strictly tighter than the in-kernel f32).  Padded to 8 sublanes:
+    a (2, width) VMEM block is sub-native tiling and measured to blow
+    Mosaic's compile time up ~4x (148 -> 535 s on the folded C=1
+    flagship, round 5) — the 8-row pad restores native (8, 128) tiles
+    for 6 * width * 4 bytes of dead VMEM."""
     dth = np.int64(dtheta) - (1 << 32) if dtheta >= (1 << 31) else np.int64(dtheta)
     wrapped = ((np.arange(width, dtype=np.int64) * dth) & 0xFFFFFFFF)
     signed = np.where(wrapped >= (1 << 31), wrapped - (1 << 32), wrapped)
     ang = signed.astype(np.float32).astype(np.float64) * (2.0 * np.pi / 4294967296.0)
-    return np.stack([np.cos(ang), np.sin(ang)]).astype(np.float32)
+    out = np.zeros((8, width), np.float32)
+    out[0] = np.cos(ang)
+    out[1] = np.sin(ang)
+    return out
 
 
 def _nco_mix_base(ph_ref, base, cb, width, dtheta, yr, yi, tab_ref=None):
@@ -1390,23 +1457,26 @@ def _nco_mix(ph_ref, block_idx, cb, cell, dtheta, yr, yi, tab_ref=None):
 
 
 def _post_kernel(xr_ref, xi_ref, g_ref, *rest, cb, cell, seg_m, dtheta,
-                 scale, mn, mx):
+                 out_fmt, nco_tab=False):
     """Post-NCO + AGC gain apply + quantize/interleave over one
     (cb, cell) tile: replaces three separate XLA passes over the output-
     rate planes (mix, gain multiply, convert) with ONE HBM round trip.
 
-    Output is int32 with the I code in the low 16 bits and Q in the high
-    16 — bit-identical to the interleaved little-endian cs16 wire, so the
-    caller just bitcasts (post_processor.c:38-68 + sample_convert.c
-    round-half-away/clamp contract; scale/mn/mx come from the format
-    table, so the two quantizers cannot drift apart)."""
-    ph_ref = rest[0] if dtheta else None
+    Output is the packed interleaved wire (_pack_wire: I code low,
+    Q high — bit-identical to the little-endian wire after the caller's
+    bitcast; post_processor.c:38-68 + sample_convert.c contract; the
+    quantizer constants come from the format table, so the fused and
+    XLA quantizers cannot drift apart)."""
+    rest = list(rest)
+    ph_ref = rest.pop(0) if dtheta else None
+    tab_ref = rest.pop(0) if (dtheta and nco_tab) else None
     out_ref = rest[-1]
     i = pl.program_id(1)
     yr = xr_ref[...]
     yi = xi_ref[...]
     if dtheta:
-        yr, yi = _nco_mix(ph_ref, i, cb, cell, dtheta, yr, yi)
+        yr, yi = _nco_mix(ph_ref, i, cb, cell, dtheta, yr, yi,
+                          tab_ref=tab_ref)
     if seg_m:
         # per-128-sample segment gains: expand (cb, seg_m) across lanes
         # (the host laid gains out (grid_i, C, seg_m) so this block's last
@@ -1419,20 +1489,13 @@ def _post_kernel(xr_ref, xi_ref, g_ref, *rest, cb, cell, seg_m, dtheta,
         yr = yr * g
         yi = yi * g
 
-    def quant(v):
-        # convert._round_half_away + clamp, format-table constants
-        v = v * jnp.float32(scale)
-        v = jnp.trunc(jnp.where(v > 0, v + 0.5, v - 0.5))
-        v = jnp.clip(v, jnp.float32(mn), jnp.float32(mx))
-        return v.astype(jnp.int32)
-
-    out_ref[...] = (quant(yr) & jnp.int32(0xFFFF)) | (quant(yi) << 16)
+    out_ref[...] = _pack_wire(yr, yi, out_fmt)
 
 
 def post_apply(xr: jnp.ndarray, xi: jnp.ndarray, gains: jnp.ndarray,
                seg: int, phase_acc=None, dtheta: int = 0,
-               interpret: bool = False):
-    """Fused post stage for cs16 output.
+               interpret: bool = False, out_fmt: str = "cs16"):
+    """Fused post stage for a packable output format (_PACK_INFO).
 
     x*: (C, N) f32 planes (post-filter); gains: (C, N//seg) f32 per-
     segment AGC gains (seg == 128) or (C, 1) (seg == 0: one gain — the
@@ -1441,11 +1504,12 @@ def post_apply(xr: jnp.ndarray, xi: jnp.ndarray, gains: jnp.ndarray,
     padded with its last column so the ragged tail uses the final scan
     gain (the sequential chain's tail semantics, ops/agc.py).
 
-    Returns (C, N) int32 (packed interleaved cs16) or None when the
-    geometry cannot lower."""
+    Returns (C, N) packed wire (int32 for 16-bit wires, int16 for
+    8-bit — convert.packed_to_wire recovers the byte stream) or None
+    when the geometry cannot lower or the format has no packed form."""
     ch, n = xr.shape
     t = _LANES
-    if n < t or seg not in (0, t):
+    if n < t or seg not in (0, t) or out_fmt not in _PACK_INFO:
         return None
     cb = 8 if ch % 8 == 0 else ch
     cell = min(32 * t, t * ((n + t - 1) // t))
@@ -1474,12 +1538,17 @@ def post_apply(xr: jnp.ndarray, xi: jnp.ndarray, gains: jnp.ndarray,
     in_specs = [x_spec, x_spec, g_spec]
     args = [xr, xi, gains]
     dtheta = int(dtheta) & 0xFFFFFFFF
+    nco_tab = bool(dtheta) and _NCO_TABLES
     if dtheta:
         if phase_acc is None:
             return None
         in_specs.append(pl.BlockSpec((cb, 1), lambda c, i: (c, 0),
                                      memory_space=pltpu.VMEM))
         args.append(phase_acc)
+        if nco_tab:
+            in_specs.append(pl.BlockSpec((8, cell), lambda c, i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            args.append(jnp.asarray(_nco_lane_table(dtheta, cell)))
     out_spec = pl.BlockSpec((cb, cell), lambda c, i: (c, i),
                             memory_space=pltpu.VMEM)
     # No try/except: pallas_call here only TRACES under the callers' jit
@@ -1490,14 +1559,16 @@ def post_apply(xr: jnp.ndarray, xi: jnp.ndarray, gains: jnp.ndarray,
     # banded.set_kernels_enabled kill-switch).
     return pl.pallas_call(
         functools.partial(_post_kernel, cb=cb, cell=cell, seg_m=seg_m,
-                          dtheta=dtheta, scale=_cs16_fmt().scale,
-                          mn=_cs16_fmt().min_code, mx=_cs16_fmt().max_code),
+                          dtheta=dtheta, out_fmt=out_fmt, nco_tab=nco_tab),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((ch, n), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((ch, n), pack_wire_dtype(out_fmt)),
         cost_estimate=pl.CostEstimate(
-            flops=10 * ch * n, transcendentals=2 * ch * n if dtheta else 0,
+            flops=10 * ch * n,
+            transcendentals=(0 if not dtheta
+                             else 2 * ch * (-(-n // cell)) if nco_tab
+                             else 2 * ch * n),
             bytes_accessed=4 * ch * n * 3),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),

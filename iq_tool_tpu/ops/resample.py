@@ -226,13 +226,14 @@ class _MatmulStage:
                 banded.new_tail(state_i, xi, self.hist))
 
     def apply_planar_packed(self, xr, xi, state_r, state_i,
-                            interpret: bool = False):
-        """Last-stage variant: (cs16 wire int32 | None, new_r, new_i) —
+                            interpret: bool = False, out_fmt: str = "cs16"):
+        """Last-stage variant: (packed wire | None, new_r, new_i) —
         the kernel quantizes + interleaves in its epilogue, so the
         output bytes are written directly (see banded.apply_planar_packed)."""
         wire = banded.apply_planar_packed(state_r, state_i, xr, xi,
                                           self._a, self._a_i, self.stride,
-                                          self.hist, interpret=interpret)
+                                          self.hist, interpret=interpret,
+                                          out_fmt=out_fmt)
         return (wire, banded.new_tail(state_r, xr, self.hist),
                 banded.new_tail(state_i, xi, self.hist))
 
@@ -474,9 +475,9 @@ class Resampler:
         return xr, xi, tuple(new_states)
 
     def apply_planar_packed(self, xr, xi, state: tuple,
-                            interpret: bool = False):
-        """All stages, with the LAST one quantizing straight to the cs16
-        wire in its kernel epilogue.  Returns (wire int32, new_state) or
+                            interpret: bool = False, out_fmt: str = "cs16"):
+        """All stages, with the LAST one quantizing straight to the
+        wire in its kernel epilogue.  Returns (packed wire, new_state) or
         (None, None) when the last stage cannot pack (gather fallback,
         or the kernel path is unavailable).  Packability is decided
         STATICALLY up front — a block-length walk down the cascade plus
@@ -485,6 +486,9 @@ class Resampler:
         speculative earlier-stage traces)."""
         if not self.stages:
             return None, None          # p == q: no stages
+        from iq_tool_tpu.ops import pallas_kernels
+        if not pallas_kernels.packable_out(out_fmt):
+            return None, None
         last = self.stages[-1]
         if not hasattr(last, "apply_planar_packed"):
             return None, None
@@ -498,7 +502,8 @@ class Resampler:
             xr, xi, nr, ni = stage.apply_planar(xr, xi, sr, si)
             new_states.append((nr, ni))
         sr, si = state[-1]
-        wire, nr, ni = last.apply_planar_packed(xr, xi, sr, si, interpret)
+        wire, nr, ni = last.apply_planar_packed(xr, xi, sr, si, interpret,
+                                                out_fmt=out_fmt)
         assert wire is not None, "can_pack/apply_planar_packed disagree"
         new_states.append((nr, ni))
         return wire, tuple(new_states)

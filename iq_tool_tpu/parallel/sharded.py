@@ -207,8 +207,13 @@ class ShardedChain:
     def _halo(self, tail: jnp.ndarray, carry_tail: jnp.ndarray):
         """tail: this shard's (C, H) trailing samples. Returns (use, new_carry):
         use = preceding samples for this shard; new_carry = the wrapped
-        ppermute result (consumed by shard 0 next step)."""
+        ppermute result (consumed by shard 0 next step).  T == 1 is a
+        static no-op: the single shard's predecessor IS the carry and
+        the wrap target IS its own tail — no collective, no select (a
+        channel-only mesh pays zero stitch cost)."""
         t = self.t
+        if t == 1:
+            return carry_tail, tail
         recv = jax.lax.ppermute(tail, "time",
                                 [(i, (i + 1) % t) for i in range(t)])
         idx = jax.lax.axis_index("time")
@@ -220,6 +225,11 @@ class ShardedChain:
         docstring).  Shard-local prefix reuses the two-level MXU scan."""
         from iq_tool_tpu.ops.dc_block import _apply_plane
         n = x.shape[-1]
+        if self.t == 1:
+            # single time shard: the true carry goes straight into the
+            # scan — no zero-start, no all_gather, no prefix compose
+            y, _, end = _apply_plane(x, x_prev_use[:, 0], carry_y, alpha)
+            return y, end
         # local scan from zero initial y, with the halo'd x[-1]
         y0, _, end0 = _apply_plane(x, x_prev_use[:, 0], jnp.zeros_like(carry_y),
                                    alpha)
@@ -303,7 +313,7 @@ class ShardedChain:
         from iq_tool_tpu.ops import banded, pallas_kernels
         from iq_tool_tpu.pipeline import chain as chain_mod
         lc = self.local
-        if lc.fmt_out.name != "cs16":
+        if not pallas_kernels.packable_out(lc.fmt_out.name):
             return None
         if os.environ.get("IQTOOL_DISABLE_POST_KERNEL"):
             return None
@@ -330,7 +340,8 @@ class ShardedChain:
                     + t_idx_fn().astype(jnp.uint32) * jnp.uint32(lc.n_out)
                     * jnp.uint32(dth))[:, None]
         res = pallas_kernels.post_apply(xr, xi, gains, seg, pacc, dth,
-                                        interpret=interp)
+                                        interpret=interp,
+                                        out_fmt=lc.fmt_out.name)
         if res is None:
             return None
         if new_agc is not None:
@@ -339,8 +350,7 @@ class ShardedChain:
             new["nco_post"] = (carry["nco_post"]
                                + jnp.uint32(self.t * lc.n_out)
                                * jnp.uint32(dth))
-        wire = jax.lax.bitcast_convert_type(res, jnp.int16)
-        return wire.reshape(xr.shape[0], 2 * n)
+        return convert.packed_to_wire(res, lc.fmt_out)
 
     def _fused_pre_sharded(self, xr, xi, x_prev_use, carry: dict, new: dict,
                            t_idx_fn):
@@ -499,11 +509,33 @@ class ShardedChain:
             phase = (carry["nco_pre"]
                      + t_idx.astype(jnp.uint32) * jnp.uint32(n)
                      * jnp.uint32(dth))
+        cr0 = carry["rs0"][:, :hist]
+        ci0 = carry["rs0"][:, hist:]
+        if self.t == 1:
+            # single time shard: the TRUE DC y-state and window context
+            # go straight into the kernel (exactly Chain's fused path) —
+            # the zero-start corrections below (all_gather + z*E +
+            # W_head matmul + tail ppermute) are statically skipped, so
+            # a 1x1 or channel-only mesh pays no stitch cost
+            st4 = jnp.stack([use[:, 0], use[:, 1],
+                             carry["dc_y"][:, 0], carry["dc_y"][:, 1]],
+                            axis=-1)
+            res, tr, ti, st4n = pallas_kernels.banded_apply_dc(
+                cr0, ci0, st4, lc.dc_alpha, st0._a, st0._a_i,
+                st0.stride, hist, wire_i32=wire,
+                wire_norm=lc.fmt_in.normalizer, wire_gain=cfg.gain,
+                nco_dtheta=dth,
+                nco_phase=phase[:, None] if dth else None,
+                pack_fmt=None, interpret=interp, wire_kind=kind)
+            new["dc_y"] = st4n[:, 2:4]
+            new["rs0"] = jnp.concatenate([tr, ti], axis=-1)
+            if dth:
+                new["nco_pre"] = (carry["nco_pre"]
+                                  + jnp.uint32(n) * jnp.uint32(dth))
+            return res
         # window context: shard 0 takes the TRUE carried tail, the rest
         # zeros (head-corrected below)
         at0 = t_idx == 0
-        cr0 = carry["rs0"][:, :hist]
-        ci0 = carry["rs0"][:, hist:]
         st_r = jnp.where(at0, cr0, jnp.zeros_like(cr0))
         st_i = jnp.where(at0, ci0, jnp.zeros_like(ci0))
         st4 = jnp.stack([use[:, 0], use[:, 1],
@@ -515,7 +547,7 @@ class ShardedChain:
             wire_norm=lc.fmt_in.normalizer, wire_gain=cfg.gain,
             nco_dtheta=dth,
             nco_phase=phase[:, None] if dth else None,
-            pack_cs16=False, interpret=interp, wire_kind=kind)
+            pack_fmt=None, interpret=interp, wire_kind=kind)
         yr, yi = res
         e_r, e_i, dt_r, dt_i, w_r, w_i, n_headg = resample.dc_stage0_consts(
             st0, n, lc.dc_alpha, dth)
@@ -630,13 +662,15 @@ class ShardedChain:
                               + jnp.uint32(self.t * n) * jnp.uint32(dth))
         use, new["rs0"] = self._halo(
             jnp.concatenate([lr, li], axis=-1), carry["rs0"])
-        pack0 = (len(stages) == 1 and lc.post_filter is None
+        pack0 = (lc.fmt_out.name if (
+                 len(stages) == 1 and lc.post_filter is None
                  and int(lc.dtheta_post) == 0 and lc.agc_cfg is None
-                 and lc.fmt_out.name == "cs16"
+                 and pallas_kernels.packable_out(lc.fmt_out.name)
                  and not os.environ.get("IQTOOL_DISABLE_PACK_OUT"))
+                 else None)
         res = pallas_kernels.banded_apply(
             use[:, :hist], use[:, hist:], None, None, st0._a, st0._a_i,
-            st0.stride, hist, interpret=interp, pack_cs16=pack0,
+            st0.stride, hist, interpret=interp, pack_fmt=pack0,
             wire_i32=wire, wire_norm=lc.fmt_in.normalizer,
             wire_gain=cfg.gain, nco_dtheta=dth, nco_phase=pacc,
             wire_kind=kind)
@@ -660,7 +694,10 @@ class ShardedChain:
 
         def t_idx():
             if not _t_idx_cache:
-                _t_idx_cache.append(jax.lax.axis_index("time"))
+                # T == 1: a literal 0, so every t_idx()==0 select and
+                # masked psum folds away at trace/compile time
+                _t_idx_cache.append(jnp.int32(0) if self.t == 1
+                                    else jax.lax.axis_index("time"))
             return _t_idx_cache[0]
 
         n_sub = lc.n_in
@@ -697,8 +734,7 @@ class ShardedChain:
                 res0 = self._wire_stage0(raw, carry, new, t_idx)
                 if res0 is not None and res0[2]:
                     # single-stage cascade: wire in AND out in ONE kernel
-                    w16 = jax.lax.bitcast_convert_type(res0[0], jnp.int16)
-                    return new, w16.reshape(res0[0].shape[0], -1)
+                    return new, convert.packed_to_wire(res0[0], lc.fmt_out)
                 wire_rs = None if res0 is None else (res0[0], res0[1])
 
         fused = None
@@ -746,10 +782,11 @@ class ShardedChain:
             import os
 
             from iq_tool_tpu.pipeline import chain as chain_mod
+            from iq_tool_tpu.ops import pallas_kernels as _pk
             pack_last = (lc.post_filter is None
                          and int(lc.dtheta_post) == 0
                          and lc.agc_cfg is None
-                         and lc.fmt_out.name == "cs16"
+                         and _pk.packable_out(lc.fmt_out.name)
                          and not os.environ.get("IQTOOL_DISABLE_PACK_OUT"))
             interp = _FUSED_INTERPRET or chain_mod._FUSED_POST_INTERPRET
             stages = lc.resampler.stages
@@ -763,12 +800,12 @@ class ShardedChain:
                         and hasattr(stage, "apply_planar_packed")):
                     # the kernel epilogue quantizes + interleaves to the
                     # wire (see Chain._step); can_pack self-gates
-                    wire_i32, _, _ = stage.apply_planar_packed(
-                        xr, xi, use[:, :h], use[:, h:], interpret=interp)
-                    if wire_i32 is not None:
-                        w16 = jax.lax.bitcast_convert_type(wire_i32,
-                                                           jnp.int16)
-                        return new, w16.reshape(wire_i32.shape[0], -1)
+                    wire_pk, _, _ = stage.apply_planar_packed(
+                        xr, xi, use[:, :h], use[:, h:], interpret=interp,
+                        out_fmt=lc.fmt_out.name)
+                    if wire_pk is not None:
+                        return new, convert.packed_to_wire(wire_pk,
+                                                           lc.fmt_out)
                 xr, xi, _, _ = stage.apply_planar(
                     xr, xi, use[:, :h], use[:, h:])
         if lc.post_filter:

@@ -356,7 +356,7 @@ class Chain:
         measured pre-NCO.  Returns the wire array or None (caller runs
         the separate ops)."""
         from iq_tool_tpu.ops import banded, pallas_kernels
-        if self.fmt_out.name != "cs16":
+        if not pallas_kernels.packable_out(self.fmt_out.name):
             return None
         if os.environ.get("IQTOOL_DISABLE_POST_KERNEL"):
             return None            # operational kill-switch (see post_apply)
@@ -389,7 +389,8 @@ class Chain:
             gains = jnp.ones((c, 1), jnp.float32)
         pacc = carry["nco_post"][:, None] if dth else None
         res = pallas_kernels.post_apply(xr, xi, gains, seg, pacc, dth,
-                                        interpret=_FUSED_POST_INTERPRET)
+                                        interpret=_FUSED_POST_INTERPRET,
+                                        out_fmt=self.fmt_out.name)
         if res is None:
             return None
         if new_agc is not None:
@@ -397,11 +398,10 @@ class Chain:
         if dth:
             new["nco_post"] = (carry["nco_post"]
                                + jnp.uint32(n) * jnp.uint32(dth))
-        wire = jax.lax.bitcast_convert_type(res, jnp.int16)
-        return wire.reshape(c, 2 * n)
+        return convert.packed_to_wire(res, self.fmt_out)
 
     def _fused_wire_resample(self, raw, carry: dict, new: dict):
-        """Wire -> [DC] -> [NCO] -> resample -> cs16 wire with nothing
+        """Wire -> [DC] -> [NCO] -> resample -> packed wire with nothing
         else in the chain (BASELINE configs #1/#2 and, with dc_block,
         the flagship shape): stage 0 decodes the packed wire in-register
         — and with dc_block runs the DC recurrence in the same prologue
@@ -414,8 +414,7 @@ class Chain:
         if (cfg.iq_correction
                 or self.pre_filter is not None or self.resampler is None
                 or self.post_filter is not None
-                or int(self.dtheta_post) != 0 or self.agc_cfg is not None
-                or self.fmt_out.name != "cs16"):
+                or int(self.dtheta_post) != 0 or self.agc_cfg is not None):
             return None
         if os.environ.get("IQTOOL_DISABLE_WIRE_INPUT"):
             return None
@@ -423,7 +422,9 @@ class Chain:
             return None             # kill-switch for the dc-fused stage 0
         # pack-out is independently killable: the wire-INPUT half still
         # runs, finishing with the plain convert
-        pack_ok = not os.environ.get("IQTOOL_DISABLE_PACK_OUT")
+        from iq_tool_tpu.ops import pallas_kernels
+        pack_ok = (not os.environ.get("IQTOOL_DISABLE_PACK_OUT")
+                   and pallas_kernels.packable_out(self.fmt_out.name))
         if not (banded._on_tpu() or _FUSED_POST_INTERPRET):
             return None
         packed = convert.wire_pack(raw, self.fmt_in)
@@ -436,12 +437,11 @@ class Chain:
         st0 = stages[0]
         sr, si = carry["rs"][0]
         nb0 = wire.shape[-1] // st0.stride
-        from iq_tool_tpu.ops import pallas_kernels
         if pallas_kernels.plan(st0.stride, st0.hist, st0._a.shape[1],
                                nb0, wire.shape[0],
                                dc=cfg.dc_block) is None:
             return None
-        pack0 = pack_ok and len(stages) == 1
+        pack0 = self.fmt_out.name if (pack_ok and len(stages) == 1) else None
         dth = int(self.dtheta_pre)
         pacc = carry["nco_pre"][:, None] if dth else None
         items = self.fmt_in.items_per_frame
@@ -454,7 +454,7 @@ class Chain:
                 sr, si, st4, self.dc_alpha, st0._a, st0._a_i,
                 st0.stride, st0.hist, wire_i32=wire,
                 wire_norm=self.fmt_in.normalizer, wire_gain=cfg.gain,
-                nco_dtheta=dth, nco_phase=pacc, pack_cs16=pack0,
+                nco_dtheta=dth, nco_phase=pacc, pack_fmt=pack0,
                 interpret=_FUSED_POST_INTERPRET, wire_kind=kind)
             new["dc"] = dc_block.PlanarDcState(
                 st4n[:, 0], st4n[:, 1], st4n[:, 2], st4n[:, 3])
@@ -466,7 +466,7 @@ class Chain:
             res = pallas_kernels.banded_apply(
                 sr, si, None, None, st0._a, st0._a_i, st0.stride,
                 st0.hist, interpret=_FUSED_POST_INTERPRET,
-                pack_cs16=pack0, wire_i32=wire,
+                pack_fmt=pack0, wire_i32=wire,
                 wire_norm=self.fmt_in.normalizer,
                 wire_gain=cfg.gain, nco_dtheta=dth, nco_phase=pacc,
                 wire_kind=kind)
@@ -487,20 +487,19 @@ class Chain:
         if pack0:
             # single-stage cascade: wire in AND out in one kernel
             new["rs"] = tuple(new_rs)
-            w16 = jax.lax.bitcast_convert_type(res, jnp.int16)
-            return w16.reshape(res.shape[0], -1)
+            return convert.packed_to_wire(res, self.fmt_out)
         xr, xi = res
         for i, stage in enumerate(stages[1:], start=1):
             s_r, s_i = carry["rs"][i]
             if (pack_ok and i == len(stages) - 1
                     and hasattr(stage, "apply_planar_packed")):
                 wire_out, nr, ni = stage.apply_planar_packed(
-                    xr, xi, s_r, s_i, interpret=_FUSED_POST_INTERPRET)
+                    xr, xi, s_r, s_i, interpret=_FUSED_POST_INTERPRET,
+                    out_fmt=self.fmt_out.name)
                 if wire_out is not None:
                     new_rs.append((nr, ni))
                     new["rs"] = tuple(new_rs)
-                    w16 = jax.lax.bitcast_convert_type(wire_out, jnp.int16)
-                    return w16.reshape(wire_out.shape[0], -1)
+                    return convert.packed_to_wire(wire_out, self.fmt_out)
             xr, xi, nr, ni = stage.apply_planar(xr, xi, s_r, s_i)
             new_rs.append((nr, ni))
         # pack declined/killed: finish with the plain convert
@@ -544,23 +543,21 @@ class Chain:
         if self.resampler:
             if (self.post_filter is None and int(self.dtheta_post) == 0
                     and self.agc_cfg is None
-                    and self.fmt_out.name == "cs16"
                     and not os.environ.get("IQTOOL_DISABLE_PACK_OUT")):
                 # nothing runs after the resampler but the convert: the
                 # last stage's kernel epilogue quantizes + interleaves
                 # straight to the wire (one fewer write + read of both
                 # output-rate planes; BASELINE configs #1/#2 shape)
-                wire_i32, new_rs = self.resampler.apply_planar_packed(
-                    xr, xi, carry["rs"], interpret=_FUSED_POST_INTERPRET)
-                if wire_i32 is not None:
+                wire_pk, new_rs = self.resampler.apply_planar_packed(
+                    xr, xi, carry["rs"], interpret=_FUSED_POST_INTERPRET,
+                    out_fmt=self.fmt_out.name)
+                if wire_pk is not None:
                     new["rs"] = new_rs
-                    wire = jax.lax.bitcast_convert_type(wire_i32, jnp.int16)
-                    return new, wire.reshape(wire_i32.shape[0], -1)
+                    return new, convert.packed_to_wire(wire_pk, self.fmt_out)
             xr, xi, new["rs"] = self.resampler.apply_planar(
                 xr, xi, carry["rs"])
         if self.post_filter:
             if (int(self.dtheta_post) == 0 and self.agc_cfg is None
-                    and self.fmt_out.name == "cs16"
                     and not os.environ.get("IQTOOL_DISABLE_PACK_OUT")):
                 # the filter is the chain's last op before the convert:
                 # quantize + interleave in the banded kernel's epilogue
@@ -568,12 +565,12 @@ class Chain:
                 # of both output-rate planes)
                 res = self.post_filter.apply_planar_packed(
                     xr, xi, *carry["post_f"],
-                    interpret=_FUSED_POST_INTERPRET)
+                    interpret=_FUSED_POST_INTERPRET,
+                    out_fmt=self.fmt_out.name)
                 if res is not None:
-                    wire_i32, nr, ni = res
+                    wire_pk, nr, ni = res
                     new["post_f"] = (nr, ni)
-                    w16 = jax.lax.bitcast_convert_type(wire_i32, jnp.int16)
-                    return new, w16.reshape(wire_i32.shape[0], -1)
+                    return new, convert.packed_to_wire(wire_pk, self.fmt_out)
             xr, xi, nr, ni = self.post_filter.apply_planar(
                 xr, xi, *carry["post_f"])
             new["post_f"] = (nr, ni)

@@ -357,7 +357,7 @@ class FoldedChain:
             wire_norm=lc.fmt_in.normalizer, wire_gain=cfg.gain,
             nco_dtheta=dth,
             nco_phase=ph[:, None] if dth else None,
-            pack_cs16=False, interpret=interp, wire_kind=kind)
+            pack_fmt=None, interpret=interp, wire_kind=kind)
         yr, yi = res
         e_r, e_i, dt_r, dt_i, w_r, w_i, n_headg = self._dc_stage0_consts()
         # correction 1: true per-row DC starts (sequential compose, same
@@ -403,7 +403,7 @@ class FoldedChain:
         new["dc"] = dc_block.PlanarDcState(cxr[:, 0], cxi[:, 0], cyr, cyi)
         return yr, yi, (t_r[:, -1], t_i[:, -1])
 
-    def _wire_stage0(self, raw_rows, carry, pack0=False):
+    def _wire_stage0(self, raw_rows, carry, pack0=None):
         """Run the FIRST resampler stage straight off the packed cs16
         wire (nothing precedes the resampler): the kernel de-interleaves
         and normalizes in-register, so the conversion pass never touches
@@ -452,7 +452,7 @@ class FoldedChain:
         ui, ci = self._shift_rows(li, carry["rs"][0][1])
         res = pallas_kernels.banded_apply(
             ur, ui, None, None, st0._a, st0._a_i, st0.stride, st0.hist,
-            interpret=interp, pack_cs16=pack0, wire_i32=wire,
+            interpret=interp, pack_fmt=pack0, wire_i32=wire,
             wire_norm=lc.fmt_in.normalizer, wire_gain=lc.cfg.gain,
             nco_dtheta=dth, nco_phase=pacc, wire_kind=kind)
         return (res, None, (cr, ci), True) if pack0 else (*res, (cr, ci),
@@ -523,7 +523,7 @@ class FoldedChain:
         from iq_tool_tpu.ops import banded, pallas_kernels
         from iq_tool_tpu.pipeline import chain as chain_mod
         lc = self.local
-        if lc.fmt_out.name != "cs16":
+        if not pallas_kernels.packable_out(lc.fmt_out.name):
             return None
         if os.environ.get("IQTOOL_DISABLE_POST_KERNEL"):
             return None
@@ -547,7 +547,8 @@ class FoldedChain:
         pacc = (self._row_phases(carry["nco_post"], lc.n_out,
                                  lc.dtheta_post)[:, None] if dth else None)
         res = pallas_kernels.post_apply(xr, xi, gains, seg, pacc, dth,
-                                        interpret=interp)
+                                        interpret=interp,
+                                        out_fmt=lc.fmt_out.name)
         if res is None:
             return None
         if new_agc is not None:
@@ -556,8 +557,7 @@ class FoldedChain:
             new["nco_post"] = (carry["nco_post"]
                                + jnp.uint32(self.n_out & 0xFFFFFFFF)
                                * lc.dtheta_post)
-        wire = jax.lax.bitcast_convert_type(res, jnp.int16)
-        return wire.reshape(self.rows, 2 * n)
+        return convert.packed_to_wire(res, lc.fmt_out)
 
     def _step(self, carry: dict, raw: jnp.ndarray, reset: jnp.ndarray):
         lc = self.local
@@ -581,11 +581,14 @@ class FoldedChain:
         elif (not cfg.iq_correction
                 and lc.pre_filter is None and lc.resampler is not None):
             import os as _os
-            pack0 = (len(lc.resampler.stages) == 1
+            from iq_tool_tpu.ops import pallas_kernels as _pk
+            pack0 = (lc.fmt_out.name if (
+                     len(lc.resampler.stages) == 1
                      and lc.post_filter is None
                      and int(lc.dtheta_post) == 0 and lc.agc_cfg is None
-                     and lc.fmt_out.name == "cs16"
+                     and _pk.packable_out(lc.fmt_out.name)
                      and not _os.environ.get("IQTOOL_DISABLE_PACK_OUT"))
+                     else None)
             wire_rs = self._wire_stage0(raw_rows, carry, pack0)
         if fused is not None:
             xr, xi = fused
@@ -597,8 +600,8 @@ class FoldedChain:
             if wire_rs[3]:
                 # single-stage: wire in AND out in ONE kernel
                 new["rs"] = (wire_rs[2],)
-                w16 = jax.lax.bitcast_convert_type(wire_rs[0], jnp.int16)
-                return new, self._unrows(w16.reshape(self.rows, -1))
+                w = convert.packed_to_wire(wire_rs[0], lc.fmt_out)
+                return new, self._unrows(w)
             xr, xi = wire_rs[0], wire_rs[1]
         else:
             xr, xi = convert.to_planar(raw_rows, self.fmt_in, cfg.gain)
@@ -641,10 +644,11 @@ class FoldedChain:
             import os as _os
 
             from iq_tool_tpu.pipeline import chain as chain_mod
+            from iq_tool_tpu.ops import pallas_kernels as _pk
             pack_last = (lc.post_filter is None
                          and int(lc.dtheta_post) == 0
                          and lc.agc_cfg is None
-                         and lc.fmt_out.name == "cs16"
+                         and _pk.packable_out(lc.fmt_out.name)
                          and not _os.environ.get("IQTOOL_DISABLE_PACK_OUT"))
             interp = _FUSED_INTERPRET or chain_mod._FUSED_POST_INTERPRET
             new_rs = []
@@ -662,17 +666,16 @@ class FoldedChain:
                         and hasattr(stage, "apply_planar_packed")):
                     # last stage quantizes + interleaves to the wire in
                     # its kernel epilogue (see Chain._step)
-                    wire_i32, _, _ = stage.apply_planar_packed(
-                        xr, xi, ur, ui, interpret=interp)
-                    if wire_i32 is not None:
+                    wire_pk, _, _ = stage.apply_planar_packed(
+                        xr, xi, ur, ui, interpret=interp,
+                        out_fmt=lc.fmt_out.name)
+                    if wire_pk is not None:
                         # the folded carry is the per-channel LAST-ROW
                         # tail from _shift_rows, not the per-row tails
                         new_rs.append((cr, ci))
                         new["rs"] = tuple(new_rs)
-                        wire = jax.lax.bitcast_convert_type(wire_i32,
-                                                            jnp.int16)
                         return new, self._unrows(
-                            wire.reshape(self.rows, -1))
+                            convert.packed_to_wire(wire_pk, lc.fmt_out))
                 xr, xi, _, _ = stage.apply_planar(xr, xi, ur, ui)
                 new_rs.append((cr, ci))
             new["rs"] = tuple(new_rs)
@@ -683,20 +686,22 @@ class FoldedChain:
             b = lc.post_filter.block
             ur, cr = self._shift_rows(xr[:, -b:], carry["post_f"][0])
             ui, ci = self._shift_rows(xi[:, -b:], carry["post_f"][1])
+            from iq_tool_tpu.ops import pallas_kernels as _pk
             if (int(lc.dtheta_post) == 0 and lc.agc_cfg is None
-                    and lc.fmt_out.name == "cs16"
+                    and _pk.packable_out(lc.fmt_out.name)
                     and not _os.environ.get("IQTOOL_DISABLE_PACK_OUT")):
                 # the filter is the last op before the convert: quantize
                 # + interleave in its kernel epilogue (see Chain._step)
                 res = lc.post_filter.apply_planar_packed(
                     xr, xi, ur, ui,
                     interpret=(_FUSED_INTERPRET
-                               or chain_mod._FUSED_POST_INTERPRET))
+                               or chain_mod._FUSED_POST_INTERPRET),
+                    out_fmt=lc.fmt_out.name)
                 if res is not None:
-                    wire_i32 = res[0]
+                    wire_pk = res[0]
                     new["post_f"] = (cr, ci)
-                    wire = jax.lax.bitcast_convert_type(wire_i32, jnp.int16)
-                    return new, self._unrows(wire.reshape(self.rows, -1))
+                    return new, self._unrows(
+                        convert.packed_to_wire(wire_pk, lc.fmt_out))
             xr, xi, _, _ = lc.post_filter.apply_planar(xr, xi, ur, ui)
             new["post_f"] = (cr, ci)
         fused_out = self._fused_post_folded(xr, xi, carry, new)

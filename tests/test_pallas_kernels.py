@@ -96,7 +96,7 @@ def test_banded_pack_cs16_ragged_grid(rng):
     ref_r, ref_i = _ref(sr, si, xr, xi, a_r, a_i, stride, hist)
     wire = pallas_kernels.banded_apply(sr, si, xr, xi, a_r, a_i,
                                        stride, hist, interpret=True,
-                                       pack_cs16=True)
+                                       pack_fmt="cs16")
     want = np.asarray(convert.from_planar(
         jnp.asarray(np.asarray(ref_r)), jnp.asarray(np.asarray(ref_i)),
         get_format("cs16")))
@@ -443,9 +443,12 @@ def test_post_filter_pack_chain_parity(rng, monkeypatch):
     assert (diff != 0).mean() < 3e-2, (diff != 0).mean()
 
 
-def test_banded_pack_cs16_bitwise(rng):
-    """pack_cs16 epilogue vs the planar kernel + convert.from_planar:
-    identical quantization math, so the wire bytes are bitwise equal."""
+@pytest.mark.parametrize("fmt", ["cs16", "sc16q11", "cu16", "cu8", "cs8"])
+def test_banded_pack_wire_bitwise(fmt, rng):
+    """pack_fmt epilogue vs the planar kernel + convert.from_planar for
+    EVERY packable output format: identical quantization math, so the
+    wire bytes are bitwise equal (including unsigned offsets and the
+    int16 narrowing for 8-bit wires)."""
     from iq_tool_tpu.ops import convert
 
     stride, hist, g, nb, ch = 128, 23, 57, 16, 8  # resampler-stage-like
@@ -458,13 +461,44 @@ def test_banded_pack_cs16_bitwise(rng):
     assert pallas_kernels.plan(stride, hist, g, nb, ch) is not None
     yr, yi = pallas_kernels.banded_apply(sr, si, xr, xi, a_r, None,
                                          stride, hist, interpret=True)
-    want = np.asarray(convert.from_planar(yr, yi, "cs16"))
-    wire_i32 = pallas_kernels.banded_apply(sr, si, xr, xi, a_r, None,
-                                           stride, hist, interpret=True,
-                                           pack_cs16=True)
-    got = np.asarray(jax.lax.bitcast_convert_type(wire_i32, jnp.int16)
-                     ).reshape(ch, -1)
-    np.testing.assert_array_equal(got, want)
+    want = np.asarray(convert.from_planar(yr, yi, fmt))
+    packed = pallas_kernels.banded_apply(sr, si, xr, xi, a_r, None,
+                                         stride, hist, interpret=True,
+                                         pack_fmt=fmt)
+    got = np.asarray(convert.packed_to_wire(packed, fmt))
+    # the two programs compile separately, so XLA may contract the
+    # unsigned quantizer's mul+add into an FMA in one and not the other:
+    # half-ULP straddles may flip by one code on a handful of samples
+    d = np.abs(got.astype(np.int64) - want.astype(np.int64))
+    assert d.max() <= 1 and (d != 0).mean() < 1e-3, (
+        d.max(), (d != 0).mean())
+
+
+@pytest.mark.parametrize("fmt", ["cs16", "sc16q11", "cu16", "cu8", "cs8"])
+def test_post_apply_pack_wire_bitwise(fmt, rng):
+    """post_apply's fused NCO+gain+quantize for every packable format vs
+    the separate XLA ops + convert.from_planar (gain path seg=0)."""
+    from iq_tool_tpu.ops import convert, nco
+    from iq_tool_tpu.ops import pallas_kernels as pk
+
+    ch, n = 4, 4096
+    xr = rng.standard_normal((ch, n)).astype(np.float32) * 0.4
+    xi = rng.standard_normal((ch, n)).astype(np.float32) * 0.4
+    gains = (0.5 + rng.random((ch, 1))).astype(np.float32)
+    dth = nco.freq_to_dtheta(-50e3, 1_488_375.0)
+    pacc = rng.integers(0, 2 ** 32, (ch, 1), dtype=np.uint32)
+    packed = pk.post_apply(jnp.asarray(xr), jnp.asarray(xi),
+                           jnp.asarray(gains), 0, jnp.asarray(pacc),
+                           dth, interpret=True, out_fmt=fmt)
+    assert packed is not None
+    got = np.asarray(convert.packed_to_wire(packed, fmt))
+    yr, yi, _ = nco.apply_planar(jnp.asarray(xr), jnp.asarray(xi),
+                                 jnp.asarray(pacc[:, 0]), jnp.uint32(dth))
+    want = np.asarray(convert.from_planar(yr * gains, yi * gains, fmt))
+    # the fused path mixes with the table/in-kernel f32 cos/sin at the
+    # same indices; quantization straddles may differ by 1 code
+    d = np.abs(got.astype(np.int64) - want.astype(np.int64))
+    assert d.max() <= 1 and (d != 0).mean() < 2e-3, (d.max(), (d != 0).mean())
 
 
 def test_chain_packed_out_parity(rng, monkeypatch):
@@ -493,6 +527,99 @@ def test_chain_packed_out_parity(rng, monkeypatch):
     assert pk.plan(st.stride, st.hist, st._a.shape[1],
                    n_last // st.stride, 1) is not None
     raws = [rng.integers(-2 ** 14, 2 ** 14, (1, probe.in_wire_len))
+            .astype(np.int16) for _ in range(2)]
+
+    def run():
+        ch = Chain(cfg)
+        carry = ch.init_carry()
+        outs = []
+        for r in raws:
+            carry, o = ch.step(carry, r, np.False_)
+            outs.append(np.asarray(jax.device_get(o)))
+        return np.concatenate(outs, -1)
+
+    want = run()
+    monkeypatch.setattr(chain_mod, "_FUSED_POST_INTERPRET", True)
+    got = run()
+    diff = got.astype(np.int32) - want.astype(np.int32)
+    assert np.abs(diff).max() <= 1, np.abs(diff).max()
+    assert (diff != 0).mean() < 0.05, (diff != 0).mean()
+
+
+def test_chain_cu8_wire_to_wire_parity(rng, monkeypatch):
+    """cu8 -> cu8 wire->wire, the reference proof-point FORMAT pair
+    (iq_tool_presets.conf:190-196 + constants.h:200) at the flagship
+    ratio: the fully fused cu8-wire-in + cu8-pack-out path vs the XLA
+    chain, same +-1-code contract as the cs16 parity test.  (At the
+    NRSC5 2.4 Msps input rate the stage strides are 400/144 — not
+    lane-aligned, so plan() declines and the whole chain runs XLA: see
+    test_chain_cu8_nrsc5_ratio_xla below.)"""
+    from iq_tool_tpu.ops import pallas_kernels as pk
+    from iq_tool_tpu.pipeline import chain as chain_mod
+    from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+
+    cfg = ChainConfig(input_format="cu8", output_format="cu8",
+                      input_rate=2_048_000.0, target_rate=1_488_375.0,
+                      dc_block=True, target_block=131072)
+    probe = Chain(cfg)
+    # the fused wire->wire path must actually ENGAGE (guard against a
+    # vacuous pass where both runs silently take the XLA path)
+    st0 = probe.resampler.stages[0]
+    assert pk.plan(st0.stride, st0.hist, st0._a.shape[1],
+                   probe.n_in // st0.stride, 1, dc=True) is not None
+    raws = [rng.integers(0, 256, (1, probe.in_wire_len)).astype(np.uint8)
+            for _ in range(2)]
+
+    def run():
+        ch = Chain(cfg)
+        carry = ch.init_carry()
+        outs = []
+        for r in raws:
+            carry, o = ch.step(carry, r, np.False_)
+            outs.append(np.asarray(jax.device_get(o)))
+        return np.concatenate(outs, -1)
+
+    want = run()
+    assert want.dtype == np.uint8
+    monkeypatch.setattr(chain_mod, "_FUSED_POST_INTERPRET", True)
+    got = run()
+    assert got.dtype == np.uint8
+    diff = got.astype(np.int32) - want.astype(np.int32)
+    assert np.abs(diff).max() <= 1, np.abs(diff).max()
+    assert (diff != 0).mean() < 0.05, (diff != 0).mean()
+
+
+def test_chain_cu8_nrsc5_ratio_xla(rng):
+    """The exact NRSC5 preset rates (2.4 Msps cu8 -> 1.488375 Msps cu8)
+    produce non-lane-aligned stage strides (400/144) that the Pallas
+    plan correctly declines — the chain must still run (XLA path) with
+    exact frame accounting."""
+    from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+
+    cfg = ChainConfig(input_format="cu8", output_format="cu8",
+                      input_rate=2_400_000.0, target_rate=1_488_375.0,
+                      dc_block=True, target_block=131072)
+    ch = Chain(cfg)
+    raw = rng.integers(0, 256, (1, ch.in_wire_len)).astype(np.uint8)
+    carry = ch.init_carry()
+    _, out = ch.step(carry, raw, np.False_)
+    out = np.asarray(out)
+    assert out.dtype == np.uint8
+    assert out.shape[-1] == 2 * (ch.n_in * 3969 // 6400)
+
+
+def test_chain_sc16q11_wire_in_parity(rng, monkeypatch):
+    """BladeRF's native sc16q11 ingest rides the same packed int16 wire
+    as cs16 (only the normalizer differs, sample_convert.c:135-202):
+    fused wire-in + pack-out vs the XLA chain."""
+    from iq_tool_tpu.pipeline import chain as chain_mod
+    from iq_tool_tpu.pipeline.chain import Chain, ChainConfig
+
+    cfg = ChainConfig(input_format="sc16q11", output_format="sc16q11",
+                      input_rate=2_048_000.0, target_rate=1_488_375.0,
+                      target_block=131072)
+    probe = Chain(cfg)
+    raws = [rng.integers(-2048, 2048, (1, probe.in_wire_len))
             .astype(np.int16) for _ in range(2)]
 
     def run():

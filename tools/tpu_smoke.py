@@ -258,7 +258,7 @@ def main() -> int:
         yr, yi = _pk.banded_apply(sr, si, xr, xi, a_r, None, stride, hist)
         want = np.asarray(_conv.from_planar(yr, yi, "cs16"))
         wire_i32 = _pk.banded_apply(sr, si, xr, xi, a_r, None, stride,
-                                    hist, pack_cs16=True)
+                                    hist, pack_fmt="cs16")
         got = np.asarray(jax.lax.bitcast_convert_type(
             wire_i32, _jnp.int16)).reshape(ch, -1)
         d = np.abs(got.astype(np.int32) - want.astype(np.int32))
