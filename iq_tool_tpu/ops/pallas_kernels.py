@@ -40,7 +40,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
-_VMEM_BUDGET = 6 * 1024 * 1024   # per-cell working set target (bytes)
+# Per-cell working-set target and the DC-fused kernel's cell cap (in
+# lanes).  Env-tunable for A/B (tools/ use them); the defaults are the
+# measured sweet spot on v5e (round-5 sweep: cap 32/6M = 5076 Msps
+# flagship, cap 64/12M = 5509, cap 128/24M = VMEM OOM at the real 16M
+# scoped limit) — raising the cap amortizes per-tile fixed costs
+# (window-ctx reload, NCO table read, carry logic) against VMEM
+# pressure; bytes_for() tracks the scoped allocation closely (the 24M
+# budget produced a measured 24.18M scoped alloc), so 12M keeps ~4M
+# headroom under the hardware limit.
+_VMEM_BUDGET = int(os.environ.get("IQ_VMEM_BUDGET", 12 * 1024 * 1024))
+_DC_CELL_CAP = int(os.environ.get("IQ_DC_CELL_CAP", "64"))
 
 # DC in-subtile prefix engine: "matmul" (HIGHEST-precision triangular
 # matmul — default) or "cumsum" (masked log-step lane cumsum on the VPU)
@@ -151,7 +161,8 @@ def plan(stride: int, hist: int, g: int, nb: int, ch: int,
         if (tb % 8 and tb != nb) or (tb * stride) % _LANES:
             return None
         cell = tb * stride
-        if dc and (cell > 32 * _LANES or cell % _LANES or w_ctx > cell):
+        if dc and (cell > _DC_CELL_CAP * _LANES or cell % _LANES
+                   or w_ctx > cell):
             return None
         if bytes_for(tb) > _VMEM_BUDGET:
             return None
